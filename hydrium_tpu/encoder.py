@@ -1,18 +1,307 @@
-"""Streaming JPEG XL encoder orchestration (placeholder — built up in
-subsequent commits).  Will mirror hydrium's streaming API contract
-(libhydrium.h:165-314): set metadata, send tiles in any order, drain
-output incrementally."""
+"""Streaming JPEG XL encoder orchestration.
+
+Preserves the reference's streaming API contract (libhydrium.h:165-314):
+metadata first, then tiles in any order (`send_tile`), encoded bytes
+drained incrementally (`take_output`).  Two modes, as in the reference:
+
+- tiled mode (tile_size_shift >= 0): every tile is an independent
+  cropped frame (kSkipProgressive except the last); constant memory.
+- one-frame mode (shift = -1): the whole image is a single frame of
+  2048x2048 LF groups; tiles may arrive in any order and the TOC is
+  permuted to match arrival (encoder.c:241-325).
+
+The math backend is pluggable: "numpy" (exact float32 parity with the
+reference, used by differential tests) or "jax" (the TPU device
+pipeline).  Deviation from the reference, by design: in one-frame mode
+all per-group ANS sections are encoded at finalize time with the final
+log_alphabet_size, instead of per-preset mid-stream.  The reference
+encodes each preset batch with the log_alphabet_size known *so far*
+(entropy.c:1073) while the shared histogram header is written last with
+the final value (encoder.c:965); if a later tile enlarges the token
+alphabet past a power of two, its earlier sections become undecodable.
+Encoding at finalize produces identical bytes whenever the reference's
+output is self-consistent, and correct output always.
+"""
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
 from .config import ImageMetadata, SampleFormat
+from .jxl.bitwriter import BitWriter
+from .jxl import headers
+from .jxl.frame import (FrameGeometry, HFStream, LFGroupGeometry, TOC_TABLE,
+                        write_frame_header, write_lf_global, write_lf_group)
+from .ops import reference as np_ops
+from .ops.hf_tokens import tokenize_group
+
+
+def _compute_lfg_data(pixels: np.ndarray, sample_fmt: str, linear_light: bool,
+                      height: int, width: int):
+    """Numpy backend: pixels -> (lf_q, hf_q, nz) for one LF group."""
+    xyb = np_ops.pixels_to_xyb(pixels, sample_fmt, linear_light)
+    xyb = np_ops.pad_to_blocks(xyb, height, width)
+    coeffs = np_ops.forward_dct(xyb)
+    zz = np_ops.zigzag_gather(coeffs)
+    hf_q, nz = np_ops.quantize_hf(zz)
+    lf_q = np_ops.quantize_lf(coeffs[:, :, 0, 0, :])
+    return lf_q, hf_q, nz
+
+
+class _FrameAssembler:
+    """Section buffer + TOC bookkeeping for a single frame
+    (mirrors working_writer/section_endpos, internal.h:56-67)."""
+
+    def __init__(self, multi_section: bool) -> None:
+        self.working = BitWriter()
+        self.multi_section = multi_section
+        self.section_endpos: List[int] = []
+
+    def end_section(self) -> None:
+        if self.multi_section:
+            self.working.zero_pad()
+            self.section_endpos.append(len(self.working))
+
+    def write_toc_sizes(self, bw: BitWriter) -> None:
+        bw.zero_pad()
+        if self.multi_section:
+            last = 0
+            for pos in self.section_endpos:
+                bw.write_u32(TOC_TABLE, pos - last)
+                last = pos
+        else:
+            self.working.zero_pad()
+            bw.write_u32(TOC_TABLE, len(self.working))
+        bw.zero_pad()
 
 
 class Encoder:
-    def __init__(self, metadata: ImageMetadata) -> None:
+    """Streaming encoder with hydrium's tile contract."""
+
+    def __init__(self, metadata: ImageMetadata, backend: str = "numpy") -> None:
         metadata.validate()
         self.metadata = metadata
+        self.backend = backend
+        self._out = bytearray()
+        self._wrote_header = False
+        self._finished = False
+
+        m = metadata
+        if m.one_frame:
+            self._lfgs = [
+                LFGroupGeometry(
+                    x=x, y=y,
+                    width=min(2048, m.width - x * 2048),
+                    height=min(2048, m.height - y * 2048),
+                    tile_count_x=8, tile_count_y=8)
+                for y in range(m.lfg_count_y) for x in range(m.lfg_count_x)
+            ]
+            self._geo = FrameGeometry(
+                image_width=m.width, image_height=m.height, one_frame=True,
+                lfg_count_x=m.lfg_count_x, lf_groups=self._lfgs,
+                lfg_arrival=[])
+            self._assembler: Optional[_FrameAssembler] = None
+            self._hf: Optional[HFStream] = None
+            self._sent = set()
+
+    # -- public API -----------------------------------------------------
+
+    def send_tile(self, pixels: np.ndarray, tile_x: int = 0, tile_y: int = 0,
+                  is_last: int = -1,
+                  sample_fmt: SampleFormat = SampleFormat.UINT8) -> None:
+        """Encode one tile.  `pixels` is [tile_h, tile_w, 3] in the tile's
+        actual (possibly clipped) dimensions."""
+        if self._finished:
+            raise RuntimeError("tile sent after the last tile")
+        fmt = sample_fmt.value
+        if self.metadata.one_frame:
+            self._send_tile_one_frame(pixels, tile_x, tile_y, is_last, fmt)
+        else:
+            self._send_tile_tiled(pixels, tile_x, tile_y, is_last, fmt)
+
+    def take_output(self) -> bytes:
+        out = bytes(self._out)
+        self._out.clear()
+        return out
+
+    @property
+    def finished(self) -> bool:
+        return self._finished
+
+    # -- common ---------------------------------------------------------
+
+    def _image_header(self, bw: BitWriter) -> None:
+        headers.write_image_header(
+            bw, self.metadata.width, self.metadata.height,
+            self.metadata.level10, getattr(self, "_icc_payload", None))
+        self._wrote_header = True
+
+    def set_suggested_icc_profile(self, icc_data: Optional[bytes]) -> None:
+        """libhydrium.c:242-305 (one-frame mode only, before first tile)."""
+        if icc_data is None:
+            self._icc_payload = None
+            return
+        if not self.metadata.one_frame:
+            raise ValueError("one-frame mode required for ICC tagging")
+        if self._wrote_header:
+            raise RuntimeError("ICC must be set before the first tile")
+        self._icc_payload = headers.mangle_icc_profile(icc_data)
+
+    def _tile_is_last(self, tile_x: int, tile_y: int, tile_w: int,
+                      tile_h: int, is_last: int) -> bool:
+        if is_last >= 0:
+            return bool(is_last)
+        return ((tile_x + 1) * tile_w >= self.metadata.width
+                and (tile_y + 1) * tile_h >= self.metadata.height)
+
+    # -- tiled mode -----------------------------------------------------
+
+    def _send_tile_tiled(self, pixels, tile_x, tile_y, is_last, fmt) -> None:
+        m = self.metadata
+        tw, th = m.tile_width, m.tile_height
+        if tile_x >= (m.width + tw - 1) // tw or \
+                tile_y >= (m.height + th - 1) // th:
+            raise ValueError("tile out of bounds")
+        lfg = LFGroupGeometry(
+            x=tile_x, y=tile_y,
+            width=min(tw, m.width - tile_x * tw),
+            height=min(th, m.height - tile_y * th),
+            tile_count_x=1 << m.tile_size_shift_x,
+            tile_count_y=1 << m.tile_size_shift_y)
+        geo = FrameGeometry(
+            image_width=m.width, image_height=m.height, one_frame=False,
+            lfg_count_x=1, lf_groups=[lfg], lfg_arrival=[0])
+        last = self._tile_is_last(tile_x, tile_y, tw, th, is_last)
+
+        main = BitWriter()
+        if not self._wrote_header:
+            self._image_header(main)
+        write_frame_header(main, geo, last)
+
+        lf_q, hf_q, nz = _compute_lfg_data(pixels, fmt, m.linear_light,
+                                           lfg.height, lfg.width)
+
+        asm = _FrameAssembler(geo.num_frame_groups > 1)
+        write_lf_global(asm.working)
+        asm.end_section()
+        write_lf_group(asm.working, lf_q)
+        asm.end_section()
+
+        hf = HFStream(geo.num_presets)
+        for gy, gx, gh, gw in lfg.groups():
+            gb = (slice(gy * 32, gy * 32 + ((gh + 7) >> 3)),
+                  slice(gx * 32, gx * 32 + ((gw + 7) >> 3)))
+            hf.add_group(tokenize_group(hf_q[gb], nz[gb], 0, hf.cluster_map),
+                         0)
+        hf.encode_group_sections()
+        hf.write_hf_global(asm.working, geo.num_frame_groups)
+        asm.end_section()
+        for gbw in hf.group_sections:
+            asm.working.append_writer(gbw)
+            asm.end_section()
+
+        asm.write_toc_sizes(main)
+        self._out.extend(main.finalize())
+        self._out.extend(asm.working.finalize())
+        if last:
+            self._finished = True
+
+    # -- one-frame mode -------------------------------------------------
+
+    def _send_tile_one_frame(self, pixels, tile_x, tile_y, is_last,
+                             fmt) -> None:
+        m = self.metadata
+        if tile_x >= m.lfg_count_x or tile_y >= m.lfg_count_y:
+            raise ValueError("tile out of bounds")
+        lfid = tile_y * m.lfg_count_x + tile_x
+        if lfid in self._sent:
+            raise ValueError("tile already sent")
+        last = self._tile_is_last(tile_x, tile_y, 2048, 2048, is_last)
+
+        if self._assembler is None:
+            self._assembler = _FrameAssembler(self._geo.toc_size > 1)
+            self._hf = HFStream(self._geo.num_presets)
+            write_lf_global(self._assembler.working)
+            self._assembler.end_section()
+
+        self._process_lfg(pixels, lfid, fmt)
+
+        if last:
+            for missing in range(len(self._lfgs)):
+                if missing not in self._sent:
+                    lfg = self._lfgs[missing]
+                    zeros = np.zeros((lfg.height, lfg.width, 3),
+                                     dtype=np.uint8 if fmt == "uint8"
+                                     else np.uint16 if fmt == "uint16"
+                                     else np.float32)
+                    self._process_lfg(zeros, missing, fmt)
+            self._finalize_one_frame()
+
+    def _process_lfg(self, pixels, lfid: int, fmt: str) -> None:
+        lfg = self._lfgs[lfid]
+        self._sent.add(lfid)
+        self._geo.lfg_arrival.append(lfid)
+        lf_q, hf_q, nz = _compute_lfg_data(pixels, fmt,
+                                           self.metadata.linear_light,
+                                           lfg.height, lfg.width)
+        asm = self._assembler
+        write_lf_group(asm.working, lf_q)
+        asm.end_section()
+        preset = lfid // self._geo.lfg_per_preset
+        for gy, gx, gh, gw in lfg.groups():
+            gb = (slice(gy * 32, gy * 32 + ((gh + 7) >> 3)),
+                  slice(gx * 32, gx * 32 + ((gw + 7) >> 3)))
+            self._hf.add_group(
+                tokenize_group(hf_q[gb], nz[gb], preset, self._hf.cluster_map),
+                preset)
+
+    def _finalize_one_frame(self) -> None:
+        asm = self._assembler
+        hf = self._hf
+        geo = self._geo
+        hf.encode_group_sections()
+        hf.write_hf_global(asm.working, geo.num_frame_groups)
+        asm.end_section()
+        for gbw in hf.group_sections:
+            asm.working.append_writer(gbw)
+            asm.end_section()
+
+        main = BitWriter()
+        if not self._wrote_header:
+            self._image_header(main)
+        write_frame_header(main, geo, True)
+        asm.write_toc_sizes(main)
+        self._out.extend(main.finalize())
+        self._out.extend(asm.working.finalize())
+        self._finished = True
 
 
-def encode_image(image, **kwargs) -> bytes:
-    raise NotImplementedError
+def encode_image(image: np.ndarray, tile_size_shift: int = -1,
+                 linear_light: bool = False,
+                 sample_fmt: Optional[SampleFormat] = None,
+                 backend: str = "numpy") -> bytes:
+    """One-shot encode of an [H, W, 3] array to .jxl bytes."""
+    if sample_fmt is None:
+        if image.dtype == np.uint8:
+            sample_fmt = SampleFormat.UINT8
+        elif image.dtype == np.uint16:
+            sample_fmt = SampleFormat.UINT16
+        else:
+            sample_fmt = SampleFormat.FLOAT32
+    h, w = image.shape[:2]
+    meta = ImageMetadata(width=w, height=h, linear_light=linear_light,
+                         tile_size_shift_x=tile_size_shift,
+                         tile_size_shift_y=tile_size_shift)
+    enc = Encoder(meta, backend=backend)
+    tile = 2048 if meta.one_frame else meta.tile_width
+    out = bytearray()
+    for ty in range((h + tile - 1) // tile):
+        for tx in range((w + tile - 1) // tile):
+            y0, x0 = ty * tile, tx * tile
+            enc.send_tile(image[y0:y0 + tile, x0:x0 + tile], tx, ty,
+                          sample_fmt=sample_fmt)
+            out.extend(enc.take_output())
+    return bytes(out)

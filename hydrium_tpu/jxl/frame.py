@@ -1,0 +1,328 @@
+"""Frame-level serialization: frame headers, TOC permutation (Lehmer),
+LFGlobal / LFGroup / HFGlobal / HF-group sections.
+
+Equivalent to the frame machinery of the reference encoder
+(encoder.c:241-435, :510-629, :852-1016), restructured around explicit
+geometry/data objects instead of in-place encoder state so the section
+builders can be driven by either the numpy or the JAX device pipeline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..ops import tables
+from ..ops.hf_tokens import GroupTokens
+from ..ops.reference import lf_predict_residuals, pack_signed
+from .bitwriter import BitWriter, U32Table
+from .entropy import EntropyStream, cllog2
+
+FRAME_SIZE_U32 = U32Table(cpos=(0, 256, 2304, 18688), upos=(8, 11, 14, 30))
+GLOBAL_SCALE_TABLE = U32Table(cpos=(1, 2049, 4097, 8193), upos=(11, 11, 12, 16))
+QUANT_LF_TABLE = U32Table(cpos=(16, 1, 1, 1), upos=(0, 5, 8, 16))
+TOC_TABLE = U32Table(cpos=(0, 1024, 17408, 4211712), upos=(10, 14, 22, 30))
+
+# Fixed modular MA trees (encoder.c:114-116): (dist, symbol) pairs.
+LF_MA_TREE = ((1, 0), (2, 5), (3, 0), (4, 0), (5, 0))
+META_MA_TREE = ((1, 0), (2, 0), (3, 0), (4, 0), (5, 0))
+
+
+@dataclass
+class LFGroupGeometry:
+    """Mirror of HYDLFGroup (internal.h:13-19)."""
+
+    x: int
+    y: int
+    width: int
+    height: int
+    tile_count_x: int
+    tile_count_y: int
+
+    @property
+    def varblock_width(self) -> int:
+        return (self.width + 7) >> 3
+
+    @property
+    def varblock_height(self) -> int:
+        return (self.height + 7) >> 3
+
+    @property
+    def group_count_x(self) -> int:
+        return (self.width + 255) >> 8
+
+    @property
+    def group_count_y(self) -> int:
+        return (self.height + 255) >> 8
+
+    @property
+    def group_count(self) -> int:
+        return self.group_count_x * self.group_count_y
+
+    def groups(self):
+        """Yield (gy, gx, gh, gw) for each 256x256 group in raster order."""
+        for gy in range(self.group_count_y):
+            gh = min(256, self.height - (gy << 8))
+            for gx in range(self.group_count_x):
+                gw = min(256, self.width - (gx << 8))
+                yield gy, gx, gh, gw
+
+
+@dataclass
+class FrameGeometry:
+    """Everything needed for frame headers and TOC layout."""
+
+    image_width: int
+    image_height: int
+    one_frame: bool
+    lfg_count_x: int       # LF groups per frame row (one-frame mode)
+    lf_groups: List[LFGroupGeometry]   # raster order, all LFGs of the frame
+    lfg_arrival: List[int]             # raster indices in arrival order
+
+    @property
+    def lfg_per_frame(self) -> int:
+        return len(self.lf_groups)
+
+    @property
+    def frame_width(self) -> int:
+        return self.image_width if self.one_frame else self.lf_groups[0].width
+
+    @property
+    def frame_height(self) -> int:
+        return self.image_height if self.one_frame else self.lf_groups[0].height
+
+    @property
+    def frame_groups_x(self) -> int:
+        return (self.frame_width + 255) >> 8
+
+    @property
+    def frame_groups_y(self) -> int:
+        return (self.frame_height + 255) >> 8
+
+    @property
+    def num_frame_groups(self) -> int:
+        return self.frame_groups_x * self.frame_groups_y
+
+    @property
+    def toc_size(self) -> int:
+        return (2 + self.num_frame_groups + self.lfg_per_frame
+                if self.num_frame_groups > 1 else 1)
+
+    @property
+    def num_presets(self) -> int:
+        return min(self.lfg_per_frame, 256)
+
+    @property
+    def lfg_per_preset(self) -> int:
+        return (self.lfg_per_frame + 255) // 256
+
+
+def calculate_toc_permutation(geo: FrameGeometry) -> List[int]:
+    """Physical-section-order -> logical-TOC-index map (encoder.c:241-268)."""
+    toc = [0] * geo.toc_size
+    idx = 1
+    for raster in geo.lfg_arrival:
+        toc[idx] = 1 + raster
+        idx += 1
+    for pos, raster in enumerate(geo.lfg_arrival):
+        if pos == 0:
+            toc[idx] = 1 + geo.lfg_per_frame  # HFGlobal
+            idx += 1
+        lfg = geo.lf_groups[raster]
+        for g in range(lfg.group_count):
+            gy = (lfg.y << 3 if geo.one_frame else 0) + g // lfg.group_count_x
+            gx = (lfg.x << 3 if geo.one_frame else 0) + g % lfg.group_count_x
+            toc[idx] = 2 + geo.lfg_per_frame + gy * geo.frame_groups_x + gx
+            idx += 1
+    return toc
+
+
+def lehmer_sequence(geo: FrameGeometry) -> List[int]:
+    """Lehmer code of the inverse TOC permutation (encoder.c:270-325)."""
+    n = geo.toc_size
+    toc = calculate_toc_permutation(geo)
+    inverse = [0] * n
+    for physical, logical in enumerate(toc):
+        inverse[logical] = physical
+    temp = list(range(n))
+    lehmer = [0] * n
+    for i in range(n):
+        k = 0
+        for j in range(n):
+            if temp[j] == inverse[i]:
+                lehmer[i] = k
+                temp[j] = -1
+            elif temp[j] >= 0:
+                k += 1
+    return lehmer
+
+
+def write_frame_header(bw: BitWriter, geo: FrameGeometry, is_last: bool) -> None:
+    """encoder.c:327-435."""
+    bw.zero_pad()
+    lfg = geo.lf_groups[0]
+    have_crop = not geo.one_frame and not (
+        geo.image_width <= lfg.width and geo.image_height <= lfg.height)
+
+    bw.write(0, 1)                      # all_default = 0
+    bw.write(0 if is_last else 3, 2)    # kRegularFrame / kSkipProgressive
+    bw.write(0, 1)                      # frame_encoding = VarDCT
+    bw.write_u64(0x80)                  # flags = kSkipAdaptiveLFSmoothing
+    # upsampling 0:2, x_qm_scale 3:3, b_qm_scale 2:3, num_passes 0:2
+    bw.write(0x4C, 10)
+    bw.write_bool(have_crop)
+    if have_crop:
+        frame_w = lfg.tile_count_x << 8
+        frame_h = lfg.tile_count_y << 8
+        bw.write_u32(FRAME_SIZE_U32, int(pack_signed(
+            np.int64(lfg.x * frame_w))))
+        bw.write_u32(FRAME_SIZE_U32, int(pack_signed(
+            np.int64(lfg.y * frame_h))))
+        bw.write_u32(FRAME_SIZE_U32, lfg.width)
+        bw.write_u32(FRAME_SIZE_U32, lfg.height)
+    bw.write(0, 2)                      # blending mode kReplace
+    if have_crop:
+        bw.write(0, 2)                  # blending source = 0
+    bw.write_bool(is_last)
+    if not is_last:
+        bw.write(0, 2)                  # save_as_reference = 0
+    bw.write(0, 2)                      # name_len
+    bw.write_bool(False)                # restoration all_default = 0
+    bw.write_bool(False)                # gab
+    bw.write(0, 2)                      # epf_iters
+    bw.write(0, 2)                      # restoration extensions
+    bw.write(0, 2)                      # frame extensions
+
+    if geo.toc_size > 1:
+        bw.write_bool(True)             # permuted TOC
+        stream = EntropyStream([0], 8)
+        stream.send_symbol(0, geo.toc_size)
+        for v in lehmer_sequence(geo):
+            stream.send_symbol(0, v)
+        stream.prefix_finalize(bw)
+    else:
+        bw.write_bool(False)
+    bw.zero_pad()
+
+
+def write_lf_global(bw: BitWriter) -> None:
+    """encoder.c:510-537."""
+    from ..config import GLOBAL_SCALE, QUANT_LF
+    bw.write_bool(True)                       # LF quant all_default
+    bw.write_u32(GLOBAL_SCALE_TABLE, GLOBAL_SCALE)
+    bw.write_u32(QUANT_LF_TABLE, QUANT_LF)
+    bw.write_bool(False)                      # HF block context all_default=0
+    bw.write(0, 16)                           # lf/qf thresholds
+    bw.write_bool(True)                       # simple clustering
+    bw.write(2, 2)                            # nbits = 2
+    for i in range(3):
+        for _ in range(13):
+            bw.write(i, 2)                    # block context cluster map
+    bw.write_bool(True)                       # LF channel correlation default
+    bw.write_bool(False)                      # GlobalModular have_global_tree
+
+
+def _send_ma_tree(bw: BitWriter, tree) -> None:
+    stream = EntropyStream([0] * 6, 6)
+    for dist, sym in tree:
+        stream.send_symbol(dist, sym)
+    stream.prefix_finalize(bw)
+
+
+def write_lf_group(bw: BitWriter, lf_q: np.ndarray) -> None:
+    """One LFGroup section from quantized LF values.
+
+    lf_q: [vh, vw, 3] int32 (storage channel order X,Y,B).
+    encoder.c:539-629."""
+    vh, vw, _ = lf_q.shape
+    nb_blocks = vh * vw
+
+    bw.write(0, 2)          # extra precision
+    bw.write_bool(False)    # use_global_tree
+    bw.write_bool(True)     # wp_params all_default
+    bw.write(0, 2)          # nb_transforms
+
+    _send_ma_tree(bw, LF_MA_TREE)
+
+    residuals = lf_predict_residuals(lf_q)
+    stream = EntropyStream([0], 1, custom_configs=True,
+                           lz77_min_symbol=1 << 14, modular=True)
+    stream.set_hybrid_config(0, 0, 7, 1, 1)
+    packed = pack_signed(residuals)
+    for i in range(3):
+        c = 1 - i if i < 2 else i    # emission order Y, X, B
+        plane = packed[:, :, c].ravel()
+        for v in plane:
+            stream.send_symbol(0, int(v))
+    stream.prefix_finalize(bw)
+
+    bw.write(nb_blocks - 1, cllog2(nb_blocks))
+    bw.write(0x2, 4)
+    _send_ma_tree(bw, META_MA_TREE)
+
+    cfl_height = (vh + 7) >> 3
+    cfl_width = (vw + 7) >> 3
+    num_z_pre = 2 * cfl_width * cfl_height + nb_blocks
+    stream = EntropyStream([0], 1, lz77_min_symbol=29, modular=True)
+    for _ in range(num_z_pre):
+        stream.send_symbol(0, 0)
+    qf_sym = (tables.HF_MULT - 1) * 2
+    for _ in range(nb_blocks):
+        stream.send_symbol(0, qf_sym)
+    for _ in range(nb_blocks):
+        stream.send_symbol(0, 0)
+    stream.prefix_finalize(bw)
+
+
+class HFStream:
+    """Frame-wide HF coefficient ANS stream with per-group barriers.
+
+    Accumulates tokenized group symbols, encodes per-group ANS sections
+    at preset-flush time, and writes the shared histogram header last
+    (encoder.c:852-981, entropy.c ANS path)."""
+
+    def __init__(self, num_presets: int) -> None:
+        self.num_presets = num_presets
+        self.cluster_map = tables.hf_cluster_map(num_presets)
+        self.stream = EntropyStream(self.cluster_map.tolist(),
+                                    len(self.cluster_map),
+                                    custom_configs=True)
+        self.stream.set_hybrid_config(0, 0, 4, 1, 0)
+        self.group_sections: List[BitWriter] = []
+        self._barriers: List[int] = []   # symbol count per pending group
+        self._presets: List[int] = []    # preset id per pending group
+
+    def add_group(self, tokens: GroupTokens, preset: int) -> None:
+        t, c, r, b = tokens.flatten()
+        self.stream.send_tokenized(c, t, r, b)
+        self._barriers.append(len(t))
+        self._presets.append(preset)
+
+    def encode_group_sections(self) -> None:
+        """Encode every pending group's ANS section (encoder.c:931-952).
+
+        All sections are encoded here, with the final log_alphabet_size,
+        rather than per-preset as tiles arrive -- see the consistency note
+        in encoder.py's module docstring.  Byte-identical to the reference
+        whenever the reference's own per-flush alphabet size is stable."""
+        self.stream.ans_prepare_frequencies(0, self.stream.num_clusters, 0,
+                                            self.stream.symbol_count)
+        bits = cllog2(self.num_presets)
+        soff = 0
+        for count, p in zip(self._barriers, self._presets):
+            gbw = BitWriter()
+            gbw.write(p, bits)
+            self.stream.ans_write_symbols(gbw, soff, count)
+            soff += count
+            self.group_sections.append(gbw)
+        self._barriers.clear()
+        self._presets.clear()
+
+    def write_hf_global(self, bw: BitWriter, num_frame_groups: int) -> None:
+        """encoder.c:959-967."""
+        bw.write_bool(True)      # default params
+        bw.write(self.num_presets - 1, cllog2(num_frame_groups))
+        bw.write(2, 2)           # used_orders: all natural
+        self.stream.ans_write_header(bw)

@@ -1,0 +1,90 @@
+"""End-to-end encoder tests: byte-parity with the reference encoder
+(numpy conformance backend) and decodability/PSNR via libjxl."""
+
+import numpy as np
+import pytest
+
+import ref_hydrium
+from hydrium_tpu import encode_image
+from hydrium_tpu.utils import djxl
+
+
+def make_image(h, w, kind="noise", seed=0):
+    rng = np.random.default_rng(seed)
+    if kind == "noise":
+        return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            128 + 100 * np.sin(xx / 37.0) * np.cos(yy / 23.0),
+            128 + 100 * np.cos(xx / 11.0 + 1) * np.sin(yy / 41.0),
+            128 + 100 * np.sin((xx + yy) / 31.0),
+        ],
+        axis=-1,
+    )
+    img += rng.normal(0, 6, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def check_parity(img, tile_size_shift):
+    ref = ref_hydrium.encode(img, tile_size_shift=tile_size_shift)
+    mine = encode_image(img, tile_size_shift=tile_size_shift)
+    if mine != ref:
+        diff = next((i for i, (a, b) in enumerate(zip(mine, ref))
+                     if a != b), min(len(mine), len(ref)))
+        raise AssertionError(
+            f"byte mismatch: len {len(mine)} vs ref {len(ref)}, "
+            f"first diff at {diff} "
+            f"(mine={mine[max(0,diff-4):diff+8].hex()} "
+            f"ref={ref[max(0,diff-4):diff+8].hex()})")
+
+
+def check_decodes(img, tile_size_shift):
+    """Decodability + equal-or-better PSNR vs the reference encoder."""
+    mine = encode_image(img, tile_size_shift=tile_size_shift)
+    dec = djxl.decode(mine)
+    assert dec.shape == img.shape
+    p = djxl.psnr(img / 255.0, dec)
+    ref = ref_hydrium.encode(img, tile_size_shift=tile_size_shift)
+    p_ref = djxl.psnr(img / 255.0, djxl.decode(ref))
+    assert p >= p_ref - 0.01, f"PSNR {p} below reference {p_ref}"
+    return p
+
+
+@pytest.mark.parametrize("kind", ["noise", "smooth"])
+def test_single_group_one_frame(kind):
+    img = make_image(256, 256, kind)
+    check_parity(img, -1)
+    check_decodes(img, -1)
+
+
+def test_partial_group_one_frame():
+    img = make_image(100, 70, "smooth")
+    check_parity(img, -1)
+    check_decodes(img, -1)
+
+
+def test_multi_group_one_frame():
+    img = make_image(300, 520, "smooth", seed=3)
+    check_parity(img, -1)
+    check_decodes(img, -1)
+
+
+@pytest.mark.parametrize("kind", ["noise", "smooth"])
+def test_tiled_256(kind):
+    img = make_image(300, 520, kind, seed=4)
+    check_parity(img, 0)
+    check_decodes(img, 0)
+
+
+def test_tiled_512():
+    img = make_image(520, 700, "smooth", seed=5)
+    check_parity(img, 1)
+    check_decodes(img, 1)
+
+
+def test_odd_sizes():
+    for h, w in [(8, 8), (1, 1), (7, 9), (256, 1), (1, 256), (257, 255)]:
+        img = make_image(h, w, "smooth", seed=h * 100 + w)
+        check_parity(img, -1)
+        check_parity(img, 0)
