@@ -39,16 +39,55 @@ from .ops import reference as np_ops
 from .ops.hf_tokens import tokenize_group
 
 
-def _compute_lfg_data(pixels: np.ndarray, sample_fmt: str, linear_light: bool,
-                      height: int, width: int):
-    """Numpy backend: pixels -> (lf_q, hf_q, nz) for one LF group."""
+def _lfg_group_streams_numpy(pixels, sample_fmt, linear_light, lfg,
+                             preset: int, cluster_map):
+    """Numpy conformance backend: -> (lf_q, [per-group flat token arrays])."""
     xyb = np_ops.pixels_to_xyb(pixels, sample_fmt, linear_light)
-    xyb = np_ops.pad_to_blocks(xyb, height, width)
+    xyb = np_ops.pad_to_blocks(xyb, lfg.height, lfg.width)
     coeffs = np_ops.forward_dct(xyb)
     zz = np_ops.zigzag_gather(coeffs)
     hf_q, nz = np_ops.quantize_hf(zz)
     lf_q = np_ops.quantize_lf(coeffs[:, :, 0, 0, :])
-    return lf_q, hf_q, nz
+    flats = []
+    for gy, gx, gh, gw in lfg.groups():
+        gb = (slice(gy * 32, gy * 32 + ((gh + 7) >> 3)),
+              slice(gx * 32, gx * 32 + ((gw + 7) >> 3)))
+        flats.append(
+            tokenize_group(hf_q[gb], nz[gb], preset, cluster_map).flatten())
+    return lf_q, flats
+
+
+def _lfg_group_streams_jax(pixels, sample_fmt, linear_light, lfg,
+                           preset: int, cluster_map):
+    """JAX device backend: batched pipeline, then host-side flattening."""
+    import jax.numpy as jnp
+    from .ops.pipeline import encode_lfg
+
+    gcy, gcx = lfg.group_count_y, lfg.group_count_x
+    num_clusters = int(cluster_map.max()) + 1
+    out = encode_lfg(
+        jnp.asarray(np.ascontiguousarray(pixels)),
+        jnp.full((gcy * gcx,), preset, jnp.int32), jnp.asarray(cluster_map),
+        height=lfg.height, width=lfg.width, linear_light=linear_light,
+        num_clusters=num_clusters, sample_kind=sample_fmt)
+    lf_q = np.asarray(out["lf_q"])
+    tokens = np.asarray(out["tokens"])
+    clusters = np.asarray(out["clusters"])
+    residues = np.asarray(out["residues"])
+    residue_bits = np.asarray(out["residue_bits"])
+    valid_len = np.asarray(out["valid_len"])
+    flats = []
+    for gi in range(gcy * gcx):
+        mask = np.arange(64)[None, None, None, :] < valid_len[gi][..., None]
+        flats.append((tokens[gi][mask], clusters[gi][mask],
+                      residues[gi][mask], residue_bits[gi][mask]))
+    return lf_q, flats
+
+
+_BACKENDS = {
+    "numpy": _lfg_group_streams_numpy,
+    "jax": _lfg_group_streams_jax,
+}
 
 
 class _FrameAssembler:
@@ -181,8 +220,9 @@ class Encoder:
             self._image_header(main)
         write_frame_header(main, geo, last)
 
-        lf_q, hf_q, nz = _compute_lfg_data(pixels, fmt, m.linear_light,
-                                           lfg.height, lfg.width)
+        hf = HFStream(geo.num_presets)
+        lf_q, flats = _BACKENDS[self.backend](
+            pixels, fmt, m.linear_light, lfg, 0, hf.cluster_map)
 
         asm = _FrameAssembler(geo.num_frame_groups > 1)
         write_lf_global(asm.working)
@@ -190,12 +230,8 @@ class Encoder:
         write_lf_group(asm.working, lf_q)
         asm.end_section()
 
-        hf = HFStream(geo.num_presets)
-        for gy, gx, gh, gw in lfg.groups():
-            gb = (slice(gy * 32, gy * 32 + ((gh + 7) >> 3)),
-                  slice(gx * 32, gx * 32 + ((gw + 7) >> 3)))
-            hf.add_group(tokenize_group(hf_q[gb], nz[gb], 0, hf.cluster_map),
-                         0)
+        for flat in flats:
+            hf.add_group(flat, 0)
         hf.encode_group_sections()
         hf.write_hf_global(asm.working, geo.num_frame_groups)
         asm.end_section()
@@ -244,19 +280,15 @@ class Encoder:
         lfg = self._lfgs[lfid]
         self._sent.add(lfid)
         self._geo.lfg_arrival.append(lfid)
-        lf_q, hf_q, nz = _compute_lfg_data(pixels, fmt,
-                                           self.metadata.linear_light,
-                                           lfg.height, lfg.width)
+        preset = lfid // self._geo.lfg_per_preset
+        lf_q, flats = _BACKENDS[self.backend](
+            pixels, fmt, self.metadata.linear_light, lfg, preset,
+            self._hf.cluster_map)
         asm = self._assembler
         write_lf_group(asm.working, lf_q)
         asm.end_section()
-        preset = lfid // self._geo.lfg_per_preset
-        for gy, gx, gh, gw in lfg.groups():
-            gb = (slice(gy * 32, gy * 32 + ((gh + 7) >> 3)),
-                  slice(gx * 32, gx * 32 + ((gw + 7) >> 3)))
-            self._hf.add_group(
-                tokenize_group(hf_q[gb], nz[gb], preset, self._hf.cluster_map),
-                preset)
+        for flat in flats:
+            self._hf.add_group(flat, preset)
 
     def _finalize_one_frame(self) -> None:
         asm = self._assembler

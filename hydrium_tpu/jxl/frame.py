@@ -294,8 +294,10 @@ class HFStream:
         self._barriers: List[int] = []   # symbol count per pending group
         self._presets: List[int] = []    # preset id per pending group
 
-    def add_group(self, tokens: GroupTokens, preset: int) -> None:
-        t, c, r, b = tokens.flatten()
+    def add_group(self, flat_tokens, preset: int) -> None:
+        """flat_tokens: (tokens, clusters, residues, residue_bits) arrays in
+        emission order for one group."""
+        t, c, r, b = flat_tokens
         self.stream.send_tokenized(c, t, r, b)
         self._barriers.append(len(t))
         self._presets.append(preset)

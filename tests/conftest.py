@@ -1,15 +1,21 @@
 """Test configuration: force JAX onto a virtual 8-device CPU mesh so
-sharding tests run without TPU hardware (SURVEY.md section 4)."""
+sharding tests run without TPU hardware (SURVEY.md section 4).
+
+Note: this environment ships an `axon` JAX plugin that pins
+jax_platforms to "axon,cpu" regardless of the JAX_PLATFORMS env var, so
+the override must go through jax.config after import."""
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
-import sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

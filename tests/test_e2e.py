@@ -88,3 +88,24 @@ def test_odd_sizes():
         img = make_image(h, w, "smooth", seed=h * 100 + w)
         check_parity(img, -1)
         check_parity(img, 0)
+
+
+def test_jax_backend_decodes():
+    """The device pipeline's output must decode at >= reference PSNR."""
+    img = make_image(300, 520, "smooth", seed=9)
+    mine = encode_image(img, tile_size_shift=-1, backend="jax")
+    dec = djxl.decode(mine)
+    p = djxl.psnr(img / 255.0, dec)
+    ref = ref_hydrium.encode(img, tile_size_shift=-1)
+    p_ref = djxl.psnr(img / 255.0, djxl.decode(ref))
+    assert p >= p_ref - 0.05, f"jax backend PSNR {p} vs reference {p_ref}"
+
+
+def test_jax_backend_tiled_decodes():
+    img = make_image(300, 300, "noise", seed=10)
+    mine = encode_image(img, tile_size_shift=0, backend="jax")
+    dec = djxl.decode(mine)
+    p = djxl.psnr(img / 255.0, dec)
+    ref = ref_hydrium.encode(img, tile_size_shift=0)
+    p_ref = djxl.psnr(img / 255.0, djxl.decode(ref))
+    assert p >= p_ref - 0.05, f"jax backend PSNR {p} vs reference {p_ref}"
