@@ -34,54 +34,72 @@ from .config import ImageMetadata, SampleFormat
 from .jxl.bitwriter import BitWriter
 from .jxl import headers
 from .jxl.frame import (FrameGeometry, HFStream, LFGroupGeometry, TOC_TABLE,
-                        write_frame_header, write_lf_global, write_lf_group)
+                        new_bitwriter, write_frame_header, write_lf_global,
+                        write_lf_group)
 from .ops import reference as np_ops
 from .ops.hf_tokens import tokenize_group
 
 
 def _lfg_group_streams_numpy(pixels, sample_fmt, linear_light, lfg,
                              preset: int, cluster_map):
-    """Numpy conformance backend: -> (lf_q, [per-group flat token arrays])."""
+    """Numpy conformance backend.
+
+    Returns (lf_q, lf_res_packed_or_None, [per-group padded token arrays]):
+    each group entry is (tokens, clusters, residues, residue_bits,
+    valid_len) with leading block dims and trailing [3, 64] / [3]."""
     xyb = np_ops.pixels_to_xyb(pixels, sample_fmt, linear_light)
     xyb = np_ops.pad_to_blocks(xyb, lfg.height, lfg.width)
     coeffs = np_ops.forward_dct(xyb)
     zz = np_ops.zigzag_gather(coeffs)
     hf_q, nz = np_ops.quantize_hf(zz)
     lf_q = np_ops.quantize_lf(coeffs[:, :, 0, 0, :])
-    flats = []
+    groups = []
     for gy, gx, gh, gw in lfg.groups():
         gb = (slice(gy * 32, gy * 32 + ((gh + 7) >> 3)),
               slice(gx * 32, gx * 32 + ((gw + 7) >> 3)))
-        flats.append(
-            tokenize_group(hf_q[gb], nz[gb], preset, cluster_map).flatten())
-    return lf_q, flats
+        tok = tokenize_group(hf_q[gb], nz[gb], preset, cluster_map)
+        groups.append((tok.tokens, tok.clusters, tok.residues,
+                       tok.residue_bits, tok.valid_len))
+    return lf_q, None, groups
 
 
 def _lfg_group_streams_jax(pixels, sample_fmt, linear_light, lfg,
                            preset: int, cluster_map):
-    """JAX device backend: batched pipeline, then host-side flattening."""
+    """JAX device backend: batched pipeline on a fixed-size buffer (one
+    compiled executable per tile-size/mode); host slices valid regions."""
     import jax.numpy as jnp
     from .ops.pipeline import encode_lfg
 
-    gcy, gcx = lfg.group_count_y, lfg.group_count_x
+    # buffer dims: the nominal (unclipped) tile size for this mode
+    buf_h = lfg.tile_count_y << 8
+    buf_w = lfg.tile_count_x << 8
+    h, w = lfg.height, lfg.width
+    px = np.zeros((buf_h, buf_w, 3), dtype=np.asarray(pixels).dtype)
+    px[:h, :w] = pixels[:h, :w]
+
+    bgcy, bgcx = buf_h >> 8, buf_w >> 8
     num_clusters = int(cluster_map.max()) + 1
     out = encode_lfg(
-        jnp.asarray(np.ascontiguousarray(pixels)),
-        jnp.full((gcy * gcx,), preset, jnp.int32), jnp.asarray(cluster_map),
-        height=lfg.height, width=lfg.width, linear_light=linear_light,
+        jnp.asarray(px), h, w,
+        jnp.full((bgcy * bgcx,), preset, jnp.int32), jnp.asarray(cluster_map),
+        buf_h=buf_h, buf_w=buf_w, linear_light=linear_light,
         num_clusters=num_clusters, sample_kind=sample_fmt)
-    lf_q = np.asarray(out["lf_q"])
-    tokens = np.asarray(out["tokens"])
-    clusters = np.asarray(out["clusters"])
-    residues = np.asarray(out["residues"])
-    residue_bits = np.asarray(out["residue_bits"])
-    valid_len = np.asarray(out["valid_len"])
-    flats = []
-    for gi in range(gcy * gcx):
-        mask = np.arange(64)[None, None, None, :] < valid_len[gi][..., None]
-        flats.append((tokens[gi][mask], clusters[gi][mask],
-                      residues[gi][mask], residue_bits[gi][mask]))
-    return lf_q, flats
+
+    vh, vw = (h + 7) >> 3, (w + 7) >> 3
+    lf_q = np.asarray(out["lf_q"])[:vh, :vw]
+    lf_res = np.asarray(out["lf_res"])[:vh, :vw]
+    tokens = np.asarray(out["tokens"]).reshape(bgcy * bgcx, 1024, 3, 64)
+    clusters = np.asarray(out["clusters"]).reshape(tokens.shape)
+    residues = np.asarray(out["residues"]).reshape(tokens.shape)
+    residue_bits = np.asarray(out["residue_bits"]).reshape(tokens.shape)
+    valid_len = np.asarray(out["valid_len"]).reshape(bgcy * bgcx, 1024, 3)
+    groups = []
+    for gy in range(lfg.group_count_y):
+        for gx in range(lfg.group_count_x):
+            gi = gy * bgcx + gx
+            groups.append((tokens[gi], clusters[gi], residues[gi],
+                           residue_bits[gi], valid_len[gi]))
+    return lf_q, lf_res, groups
 
 
 _BACKENDS = {
@@ -95,7 +113,7 @@ class _FrameAssembler:
     (mirrors working_writer/section_endpos, internal.h:56-67)."""
 
     def __init__(self, multi_section: bool) -> None:
-        self.working = BitWriter()
+        self.working = new_bitwriter()
         self.multi_section = multi_section
         self.section_endpos: List[int] = []
 
@@ -215,23 +233,23 @@ class Encoder:
             lfg_count_x=1, lf_groups=[lfg], lfg_arrival=[0])
         last = self._tile_is_last(tile_x, tile_y, tw, th, is_last)
 
-        main = BitWriter()
+        main = new_bitwriter()
         if not self._wrote_header:
             self._image_header(main)
         write_frame_header(main, geo, last)
 
         hf = HFStream(geo.num_presets)
-        lf_q, flats = _BACKENDS[self.backend](
+        lf_q, lf_res, groups = _BACKENDS[self.backend](
             pixels, fmt, m.linear_light, lfg, 0, hf.cluster_map)
 
         asm = _FrameAssembler(geo.num_frame_groups > 1)
         write_lf_global(asm.working)
         asm.end_section()
-        write_lf_group(asm.working, lf_q)
+        write_lf_group(asm.working, lf_q, lf_res)
         asm.end_section()
 
-        for flat in flats:
-            hf.add_group(flat, 0)
+        for g in groups:
+            hf.add_group_padded(*g, 0)
         hf.encode_group_sections()
         hf.write_hf_global(asm.working, geo.num_frame_groups)
         asm.end_section()
@@ -281,14 +299,14 @@ class Encoder:
         self._sent.add(lfid)
         self._geo.lfg_arrival.append(lfid)
         preset = lfid // self._geo.lfg_per_preset
-        lf_q, flats = _BACKENDS[self.backend](
+        lf_q, lf_res, groups = _BACKENDS[self.backend](
             pixels, fmt, self.metadata.linear_light, lfg, preset,
             self._hf.cluster_map)
         asm = self._assembler
-        write_lf_group(asm.working, lf_q)
+        write_lf_group(asm.working, lf_q, lf_res)
         asm.end_section()
-        for flat in flats:
-            self._hf.add_group(flat, preset)
+        for g in groups:
+            self._hf.add_group_padded(*g, preset)
 
     def _finalize_one_frame(self) -> None:
         asm = self._assembler
@@ -301,7 +319,7 @@ class Encoder:
             asm.working.append_writer(gbw)
             asm.end_section()
 
-        main = BitWriter()
+        main = new_bitwriter()
         if not self._wrote_header:
             self._image_header(main)
         write_frame_header(main, geo, True)

@@ -19,6 +19,14 @@ from ..ops.hf_tokens import GroupTokens
 from ..ops.reference import lf_predict_residuals, pack_signed
 from .bitwriter import BitWriter, U32Table
 from .entropy import EntropyStream, cllog2
+from . import native
+
+
+def new_bitwriter():
+    """Native-backed writer when the C++ plane is available."""
+    if native.available():
+        return native.NativeBitWriter()
+    return BitWriter()
 
 FRAME_SIZE_U32 = U32Table(cpos=(0, 256, 2304, 18688), upos=(8, 11, 14, 30))
 GLOBAL_SCALE_TABLE = U32Table(cpos=(1, 2049, 4097, 8193), upos=(11, 11, 12, 16))
@@ -231,11 +239,13 @@ def _send_ma_tree(bw: BitWriter, tree) -> None:
     stream.prefix_finalize(bw)
 
 
-def write_lf_group(bw: BitWriter, lf_q: np.ndarray) -> None:
+def write_lf_group(bw, lf_q: np.ndarray,
+                   lf_res_packed: Optional[np.ndarray] = None) -> None:
     """One LFGroup section from quantized LF values.
 
-    lf_q: [vh, vw, 3] int32 (storage channel order X,Y,B).
-    encoder.c:539-629."""
+    lf_q: [vh, vw, 3] int32 (storage channel order X,Y,B);
+    lf_res_packed: optional precomputed pack_signed residuals (device
+    pipeline output), else derived here.  encoder.c:539-629."""
     vh, vw, _ = lf_q.shape
     nb_blocks = vh * vw
 
@@ -246,17 +256,26 @@ def write_lf_group(bw: BitWriter, lf_q: np.ndarray) -> None:
 
     _send_ma_tree(bw, LF_MA_TREE)
 
-    residuals = lf_predict_residuals(lf_q)
-    stream = EntropyStream([0], 1, custom_configs=True,
-                           lz77_min_symbol=1 << 14, modular=True)
-    stream.set_hybrid_config(0, 0, 7, 1, 1)
-    packed = pack_signed(residuals)
-    for i in range(3):
-        c = 1 - i if i < 2 else i    # emission order Y, X, B
-        plane = packed[:, :, c].ravel()
-        for v in plane:
+    if lf_res_packed is None:
+        lf_res_packed = pack_signed(lf_predict_residuals(lf_q))
+    # emission order Y, X, B, channel-major (encoder.c:574-594)
+    planes = np.concatenate([lf_res_packed[:, :, 1].ravel(),
+                             lf_res_packed[:, :, 0].ravel(),
+                             lf_res_packed[:, :, 2].ravel()])
+    use_native = native.available() and isinstance(
+        bw, native.NativeBitWriter)
+    if use_native:
+        stream = native.NativeStream([0], 1, custom_config=(7, 1, 1),
+                                     lz77_min_symbol=1 << 14, modular=True)
+        stream.send_mono(0, planes)
+        stream.prefix_finalize(bw)
+    else:
+        stream = EntropyStream([0], 1, custom_configs=True,
+                               lz77_min_symbol=1 << 14, modular=True)
+        stream.set_hybrid_config(0, 0, 7, 1, 1)
+        for v in planes:
             stream.send_symbol(0, int(v))
-    stream.prefix_finalize(bw)
+        stream.prefix_finalize(bw)
 
     bw.write(nb_blocks - 1, cllog2(nb_blocks))
     bw.write(0x2, 4)
@@ -265,15 +284,20 @@ def write_lf_group(bw: BitWriter, lf_q: np.ndarray) -> None:
     cfl_height = (vh + 7) >> 3
     cfl_width = (vw + 7) >> 3
     num_z_pre = 2 * cfl_width * cfl_height + nb_blocks
-    stream = EntropyStream([0], 1, lz77_min_symbol=29, modular=True)
-    for _ in range(num_z_pre):
-        stream.send_symbol(0, 0)
     qf_sym = (tables.HF_MULT - 1) * 2
-    for _ in range(nb_blocks):
-        stream.send_symbol(0, qf_sym)
-    for _ in range(nb_blocks):
-        stream.send_symbol(0, 0)
-    stream.prefix_finalize(bw)
+    meta_syms = np.concatenate([
+        np.zeros(num_z_pre, np.uint32),
+        np.full(nb_blocks, qf_sym, np.uint32),
+        np.zeros(nb_blocks, np.uint32)])
+    if use_native:
+        stream = native.NativeStream([0], 1, lz77_min_symbol=29, modular=True)
+        stream.send_mono(0, meta_syms)
+        stream.prefix_finalize(bw)
+    else:
+        stream = EntropyStream([0], 1, lz77_min_symbol=29, modular=True)
+        for v in meta_syms:
+            stream.send_symbol(0, int(v))
+        stream.prefix_finalize(bw)
 
 
 class HFStream:
@@ -283,24 +307,45 @@ class HFStream:
     at preset-flush time, and writes the shared histogram header last
     (encoder.c:852-981, entropy.c ANS path)."""
 
-    def __init__(self, num_presets: int) -> None:
+    def __init__(self, num_presets: int, use_native: Optional[bool] = None) -> None:
         self.num_presets = num_presets
         self.cluster_map = tables.hf_cluster_map(num_presets)
-        self.stream = EntropyStream(self.cluster_map.tolist(),
-                                    len(self.cluster_map),
-                                    custom_configs=True)
-        self.stream.set_hybrid_config(0, 0, 4, 1, 0)
-        self.group_sections: List[BitWriter] = []
-        self._barriers: List[int] = []   # symbol count per pending group
-        self._presets: List[int] = []    # preset id per pending group
+        self.use_native = (native.available() if use_native is None
+                           else use_native)
+        self.group_sections: List = []
+        if self.use_native:
+            self._native = native.NativeHF(int(self.cluster_map.max()) + 1)
+        else:
+            self.stream = EntropyStream(self.cluster_map.tolist(),
+                                        len(self.cluster_map),
+                                        custom_configs=True)
+            self.stream.set_hybrid_config(0, 0, 4, 1, 0)
+            self._barriers: List[int] = []
+            self._presets: List[int] = []
 
     def add_group(self, flat_tokens, preset: int) -> None:
         """flat_tokens: (tokens, clusters, residues, residue_bits) arrays in
-        emission order for one group."""
+        emission order for one group.  (Pure-Python mode only.)"""
+        assert not self.use_native
         t, c, r, b = flat_tokens
         self.stream.send_tokenized(c, t, r, b)
         self._barriers.append(len(t))
         self._presets.append(preset)
+
+    def add_group_padded(self, tokens, clusters, residues, residue_bits,
+                         valid_len, preset: int) -> None:
+        """Padded [.., 3, 64] arrays (+ valid_len [.., 3]) straight from the
+        device pipeline; the native plane walks the valid prefixes."""
+        if self.use_native:
+            self._native.add_group(tokens, clusters, residues, residue_bits,
+                                   valid_len, preset)
+        else:
+            mask = (np.arange(64)[None, None, None, :]
+                    < np.asarray(valid_len)[..., None])
+            self.add_group((np.asarray(tokens)[mask],
+                            np.asarray(clusters)[mask],
+                            np.asarray(residues)[mask],
+                            np.asarray(residue_bits)[mask]), preset)
 
     def encode_group_sections(self) -> None:
         """Encode every pending group's ANS section (encoder.c:931-952).
@@ -309,9 +354,13 @@ class HFStream:
         rather than per-preset as tiles arrive -- see the consistency note
         in encoder.py's module docstring.  Byte-identical to the reference
         whenever the reference's own per-flush alphabet size is stable."""
+        bits = cllog2(self.num_presets)
+        if self.use_native:
+            self._native.prepare()
+            self.group_sections = self._native.encode_all(bits)
+            return
         self.stream.ans_prepare_frequencies(0, self.stream.num_clusters, 0,
                                             self.stream.symbol_count)
-        bits = cllog2(self.num_presets)
         soff = 0
         for count, p in zip(self._barriers, self._presets):
             gbw = BitWriter()
@@ -322,9 +371,12 @@ class HFStream:
         self._barriers.clear()
         self._presets.clear()
 
-    def write_hf_global(self, bw: BitWriter, num_frame_groups: int) -> None:
+    def write_hf_global(self, bw, num_frame_groups: int) -> None:
         """encoder.c:959-967."""
         bw.write_bool(True)      # default params
         bw.write(self.num_presets - 1, cllog2(num_frame_groups))
         bw.write(2, 2)           # used_orders: all natural
-        self.stream.ans_write_header(bw)
+        if self.use_native:
+            self._native.write_header(self.cluster_map, bw)
+        else:
+            self.stream.ans_write_header(bw)

@@ -9,19 +9,31 @@ once (the reference processes one 8x8 block at a time; SURVEY.md section
     -> XYB (color rotation + biased cube root)              VPU
     -> 8x8 DCT via two MXU matmul passes                    MXU
     -> LF quantization + clamped-gradient residuals         VPU
-    -> HF quantization (dead zone), zig-zag gather          VPU
+    -> fused zig-zag + channel-reorder gather               (one gather)
+    -> HF quantization (dead zone)                          VPU
     -> nonzero counts, context ids, cluster map gather      VPU
     -> hybrid-uint tokens/residues                          VPU
     -> per-cluster histograms (scatter-add)
 
+Layout discipline: everything after the DCT lives in a flat
+[N = groups*1024*3, 64] block-channel layout in emission order
+(group, block-raster, channel Y/X/B, zig-zag slot).  5-D arrays with
+small trailing dimensions (and especially trailing-dim transposes) blow
+up Mosaic/XLA TPU compile times by orders of magnitude -- the flat 2-D
+layout compiles in seconds and is exactly the byte layout the native
+serializer consumes, so host-side reshapes are free views.
+
+Shapes are *static buffers with dynamic valid dims*: callers pad pixels
+to a fixed buffer (e.g. 2048x2048) and pass the true height/width as
+traced scalars, so every LF group of an image -- interior or edge --
+reuses one compiled executable.
+
 Numerics: the device path uses direct float math (polynomial sRGB
 linearization, exact cube root) instead of the reference's fixed-point
-LUTs and bit-hack cbrt (format.c:21-56).  Quantized integers agree with
-the conformance numpy pipeline for the overwhelming majority of
-coefficients; outputs are validated by decode + equal-or-better PSNR,
-not byte equality (BASELINE.json: "equal or better PSNR" for lossy
-paths).  The DCT uses the same rounded basis constants as the reference
-(tables.COSINE_LUT) so quantization decisions stay aligned.
+LUTs and bit-hack cbrt (format.c:21-56).  Validated by decode +
+equal-or-better PSNR rather than byte equality (BASELINE.json); the DCT
+uses the reference's rounded basis constants (tables.COSINE_LUT) so
+quantization decisions stay aligned.
 """
 
 from __future__ import annotations
@@ -35,9 +47,16 @@ import numpy as np
 
 from . import tables
 
-# ---------------------------------------------------------------------------
-# color
-# ---------------------------------------------------------------------------
+# emission channel order Y, X, B -> storage index (internal.h channel order)
+_EMIT_TO_STORE = np.array([1, 0, 2], dtype=np.int32)
+
+# Fused gather index: emission (channel c, zig-zag j) -> flat offset into
+# the [8, 8, 3] coefficient block (ky, kx, storage channel).
+_ZZ_GATHER = (tables.ZIGZAG_KY[None, :] * 24 + tables.ZIGZAG_KX[None, :] * 3
+              + _EMIT_TO_STORE[:, None]).reshape(-1)  # [192]
+
+# HF quant weights in emission order [3, 64]
+_HF_W_EMIT = tables.HF_QUANT_WEIGHTS[_EMIT_TO_STORE].astype(np.float32)
 
 
 def _linearize(x: jnp.ndarray) -> jnp.ndarray:
@@ -79,29 +98,11 @@ def forward_dct(xyb: jnp.ndarray) -> jnp.ndarray:
     vh, vw = h // 8, w // 8
     basis = jnp.asarray(_DCT_BASIS)
     blocks = xyb.reshape(vh, 8, vw, 8, c).transpose(0, 2, 1, 3, 4)
-    # contract x: t[..., y, kx, c]; then y: F[..., ky, kx, c]
     t = jnp.einsum("abyxc,kx->abykc", blocks, basis,
                    preferred_element_type=jnp.float32)
     f = jnp.einsum("abykc,my->abmkc", t, basis,
                    preferred_element_type=jnp.float32)
     return f
-
-
-# ---------------------------------------------------------------------------
-# quantization
-# ---------------------------------------------------------------------------
-
-
-def quantize_hf(zz: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Dead-zone HF quantization (encoder.c:802-818).
-
-    zz: [..., 64, 3] float32 -> (q int32 with slot 0 zeroed, nz [..., 3])."""
-    w = jnp.asarray(tables.HF_QUANT_WEIGHTS.T.astype(np.float32))
-    q = ((zz * w) * np.float32(tables.HF_MULT)).astype(jnp.int32)
-    q = jnp.where(jnp.abs(q) < 2, 0, q)
-    q = q.at[..., 0, :].set(0)
-    nz = jnp.sum((q != 0).astype(jnp.int32), axis=-2)
-    return q, nz
 
 
 def quantize_lf(dc: jnp.ndarray) -> jnp.ndarray:
@@ -129,11 +130,6 @@ def pack_signed(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(v >= 0, v << 1, (-v << 1) - 1).astype(jnp.uint32)
 
 
-# ---------------------------------------------------------------------------
-# HF tokenization (batched over groups)
-# ---------------------------------------------------------------------------
-
-
 def _fllog2_u32(x: jnp.ndarray) -> jnp.ndarray:
     return 31 - jax.lax.clz(x.astype(jnp.int32))
 
@@ -159,7 +155,8 @@ def predicted_nonzeroes(nz: jnp.ndarray) -> jnp.ndarray:
     gbh, gbw = nz.shape[1], nz.shape[2]
     row0 = jnp.arange(gbh)[None, :, None, None] == 0
     col0 = jnp.arange(gbw)[None, None, :, None] == 0
-    first_col_prev_row = jnp.pad(nz[:, :-1, :1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+    first_col_prev_row = jnp.pad(nz[:, :-1, :1],
+                                 ((0, 0), (1, 0), (0, 0), (0, 0)))
     pred = jnp.where(row0, left, pred)
     pred = jnp.where(col0, jnp.broadcast_to(first_col_prev_row, pred.shape),
                      pred)
@@ -167,98 +164,66 @@ def predicted_nonzeroes(nz: jnp.ndarray) -> jnp.ndarray:
     return pred
 
 
-def tokenize_groups(hf_q: jnp.ndarray, nz: jnp.ndarray,
-                    presets: jnp.ndarray, cluster_map: jnp.ndarray):
-    """Batched HF tokenization (encoder.c:689-750).
+def tokenize_flat(q: jnp.ndarray, nz_flat: jnp.ndarray, pred_flat: jnp.ndarray,
+                  base_flat: jnp.ndarray, blockctx_flat: jnp.ndarray,
+                  cluster_map: jnp.ndarray):
+    """HF context modeling + tokenization on the flat layout.
 
-    hf_q: [G, 32, 32, 64, 3] int32 zig-zag coefficients (padded groups)
-    nz:   [G, 32, 32, 3]
-    presets: [G] int32 preset per group
-    Returns dict of [G, 32, 32, 3, 64] arrays + valid_len [G, 32, 32, 3].
-    """
-    q = hf_q[..., jnp.asarray([1, 0, 2])].transpose(0, 1, 2, 4, 3)
-    nzc = nz[..., jnp.asarray([1, 0, 2])]
+    q:        [N, 64] int32 quantized coefficients, emission order, slot 0
+              unused (DC)
+    nz_flat:  [N] nonzero AC count per block-channel
+    pred_flat:[N] predicted count (neighbor blocks)
+    base_flat:[N] 1485 * preset
+    blockctx_flat: [N] emission channel index 0..2
+    Returns (tokens u16 [N,64], clusters u8, residues u32, rbits u8,
+             valid_len i32 [N]).  encoder.c:689-750."""
+    p64 = jnp.minimum(pred_flat, 64)
+    nz_ctx = jnp.where(pred_flat < 8, pred_flat, 4 + (p64 >> 1))
+    count_ctx = base_flat + 3 * nz_ctx + blockctx_flat
 
-    base = (presets * tables.CONTEXTS_PER_PRESET)[:, None, None, None]
-    block_ctx = jnp.arange(3, dtype=jnp.int32)[None, None, None, :]
-
-    pred = predicted_nonzeroes(nzc)
-    p64 = jnp.minimum(pred, 64)
-    nz_ctx = jnp.where(pred < 8, pred, 4 + (p64 >> 1))
-    count_ctx = base + 3 * nz_ctx + block_ctx
-
-    nonzero = (q[..., 1:] != 0).astype(jnp.int32)
+    nonzero = (q[:, 1:] != 0).astype(jnp.int32)
     cum = jnp.cumsum(nonzero, axis=-1)
-    remaining = nzc[..., None] - jnp.pad(cum[..., :-1],
-                                         [(0, 0)] * 4 + [(1, 0)])
+    remaining = nz_flat[:, None] - jnp.pad(cum[:, :-1], ((0, 0), (1, 0)))
     prev = jnp.concatenate(
-        [(nzc <= 4).astype(jnp.int32)[..., None], nonzero[..., :-1]], axis=-1)
-    hist = base + tables.COEFF_CONTEXTS_PER_BLOCK_CTX * block_ctx + 111
+        [(nz_flat <= 4).astype(jnp.int32)[:, None], nonzero[:, :-1]], axis=-1)
+    hist = (base_flat + tables.COEFF_CONTEXTS_PER_BLOCK_CTX * blockctx_flat
+            + 111)
     cnzc = jnp.asarray(tables.COEFF_NUM_NONZERO_CONTEXT)
-    cfc = jnp.asarray(tables.COEFF_FREQ_CONTEXT)
-    coeff_ctx = (hist[..., None] + prev
-                 + ((cnzc[jnp.clip(remaining, 0, 63)]
-                     + cfc[jnp.arange(1, 64)]) << 1))
+    cfc = jnp.asarray(tables.COEFF_FREQ_CONTEXT[1:])
+    coeff_ctx = (hist[:, None] + prev
+                 + ((cnzc[jnp.clip(remaining, 0, 63)] + cfc[None, :]) << 1))
 
     j_idx = jnp.arange(1, 64)
-    last_nz = jnp.max(jnp.where(nonzero > 0, j_idx, 0), axis=-1)
+    last_nz = jnp.max(jnp.where(nonzero > 0, j_idx[None, :], 0), axis=-1)
     valid_len = (1 + last_nz).astype(jnp.int32)
 
     values = jnp.concatenate(
-        [nzc[..., None].astype(jnp.uint32), pack_signed(q[..., 1:])], axis=-1)
-    contexts = jnp.concatenate([count_ctx[..., None], coeff_ctx], axis=-1)
+        [nz_flat[:, None].astype(jnp.uint32), pack_signed(q[:, 1:])], axis=-1)
+    contexts = jnp.concatenate([count_ctx[:, None], coeff_ctx], axis=-1)
 
     tokens, residues, residue_bits = hybridize(values)
     clusters = cluster_map[contexts].astype(jnp.uint8)
-    return {
-        "tokens": tokens,
-        "clusters": clusters,
-        "residues": residues,
-        "residue_bits": residue_bits,
-        "valid_len": valid_len,
-    }
+    return tokens, clusters, residues, residue_bits, valid_len
 
 
-def cluster_histograms(tok: Dict[str, jnp.ndarray], num_clusters: int,
-                       alphabet_cap: int = 128) -> jnp.ndarray:
-    """Per-cluster token histogram over the valid symbol prefix."""
-    mask = (jnp.arange(64)[None, None, None, None, :]
-            < tok["valid_len"][..., None])
-    c = tok["clusters"].astype(jnp.int32).ravel()
-    t = jnp.minimum(tok["tokens"].astype(jnp.int32), alphabet_cap - 1).ravel()
-    m = mask.astype(jnp.int32).ravel()
-    hist = jnp.zeros((num_clusters, alphabet_cap), jnp.int32)
-    return hist.at[c, t].add(m)
-
-
-# ---------------------------------------------------------------------------
-# full LF-group pipeline
-# ---------------------------------------------------------------------------
-
-
-def _group_pad(x: np.ndarray, gcy: int, gcx: int, blocks: int = 32):
-    """Reshape a [vh, vw, ...] block grid into padded [G, 32, 32, ...]."""
-    vh, vw = x.shape[0], x.shape[1]
-    padded = jnp.zeros((gcy * blocks, gcx * blocks) + x.shape[2:], x.dtype)
-    padded = padded.at[:vh, :vw].set(x)
-    g = padded.reshape((gcy, blocks, gcx, blocks) + x.shape[2:])
-    return g.transpose((0, 2, 1, 3) + tuple(range(4, g.ndim))).reshape(
-        (gcy * gcx, blocks, blocks) + x.shape[2:])
-
-
-@partial(jax.jit, static_argnames=("height", "width", "linear_light",
+@partial(jax.jit, static_argnames=("buf_h", "buf_w", "linear_light",
                                    "num_clusters", "sample_kind"))
-def encode_lfg(pixels: jnp.ndarray, presets: jnp.ndarray,
-               cluster_map: jnp.ndarray, *, height: int, width: int,
+def encode_lfg(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
+               cluster_map: jnp.ndarray, *, buf_h: int, buf_w: int,
                linear_light: bool, num_clusters: int,
                sample_kind: str) -> Dict[str, jnp.ndarray]:
     """Full device pipeline for one LF group (or one tile-frame).
 
-    pixels: [height, width, 3] (u8/u16 int or f32), unpadded.
-    presets: [G] preset index per group (raster order).
-    Returns serializer-ready arrays (still on device)."""
-    vh, vw = (height + 7) >> 3, (width + 7) >> 3
-    gcy, gcx = (height + 255) >> 8, (width + 255) >> 8
+    pixels: [buf_h, buf_w, 3] padded buffer; `height`/`width` are the true
+    dims (traced scalars) so one executable serves every LFG shape.
+    presets: [G_buf] preset per group (raster over the buffer's group
+    grid).  Returns device arrays; the host slices valid regions."""
+    vbh, vbw = buf_h >> 3, buf_w >> 3          # buffer varblock grid
+    gcy, gcx = buf_h >> 8, buf_w >> 8          # buffer group grid
+    height = jnp.asarray(height, jnp.int32)
+    width = jnp.asarray(width, jnp.int32)
+    vh = (height + 7) >> 3
+    vw = (width + 7) >> 3
 
     if sample_kind == "uint8":
         rgb = pixels.astype(jnp.float32) * np.float32(1.0 / 255.0)
@@ -267,29 +232,65 @@ def encode_lfg(pixels: jnp.ndarray, presets: jnp.ndarray,
     else:
         rgb = pixels.astype(jnp.float32)
     xyb = rgb_to_xyb(rgb, linear_light)
-    xyb = jnp.pad(xyb, ((0, vh * 8 - height), (0, vw * 8 - width), (0, 0)))
+    # zero everything beyond the true image extent (format.c:182-191)
+    row_ok = jnp.arange(buf_h)[:, None, None] < height
+    col_ok = jnp.arange(buf_w)[None, :, None] < width
+    xyb = jnp.where(row_ok & col_ok, xyb, 0.0)
 
-    coeffs = forward_dct(xyb)
-    zz = coeffs[:, :, jnp.asarray(tables.ZIGZAG_KY),
-                jnp.asarray(tables.ZIGZAG_KX), :]
-    hf_q, nz = quantize_hf(zz)
+    coeffs = forward_dct(xyb)                  # [vbh, vbw, 8, 8, 3]
     lf_q = quantize_lf(coeffs[:, :, 0, 0, :])
     lf_res = lf_residuals(lf_q)
 
-    hf_g = _group_pad(hf_q, gcy, gcx)
-    nz_g = _group_pad(nz, gcy, gcx)
-    tok = tokenize_groups(hf_g, nz_g, presets, cluster_map)
+    # fused zig-zag + emission-channel reorder: -> [vbh, vbw, 3, 64]
+    zz = coeffs.reshape(vbh, vbw, 192)[:, :, jnp.asarray(_ZZ_GATHER)]
+    zz = zz.reshape(vbh, vbw, 3, 64)
 
-    # blocks outside the valid varblock grid of each group emit nothing
-    gbh = jnp.minimum(vh - jnp.arange(gcy) * 32, 32)
-    gbw = jnp.minimum(vw - jnp.arange(gcx) * 32, 32)
-    gbh_g = jnp.repeat(gbh, gcx)
-    gbw_g = jnp.tile(gbw, gcy)
-    valid_block = ((jnp.arange(32)[None, :, None]
-                    < gbh_g[:, None, None])
-                   & (jnp.arange(32)[None, None, :]
-                      < gbw_g[:, None, None]))
-    tok["valid_len"] = jnp.where(valid_block[..., None], tok["valid_len"], 0)
+    w_emit = jnp.asarray(_HF_W_EMIT)
+    q = ((zz * w_emit) * np.float32(tables.HF_MULT)).astype(jnp.int32)
+    q = jnp.where(jnp.abs(q) < 2, 0, q)
+    q = q.at[..., 0].set(0)
+    nz = jnp.sum((q != 0).astype(jnp.int32), axis=-1)   # [vbh, vbw, 3]
 
-    hist = cluster_histograms(tok, num_clusters)
-    return {"lf_q": lf_q, "lf_res": lf_res, "hist": hist, **tok}
+    # -> grouped layout [G, 32, 32, 3(, 64)] -> flat [N(, 64)]
+    def group_flat(x):
+        g = x.reshape((gcy, 32, gcx, 32) + x.shape[2:])
+        perm = (0, 2, 1, 3) + tuple(range(4, g.ndim))
+        return g.transpose(perm).reshape((gcy * gcx * 1024 * 3,)
+                                         + x.shape[3:])
+
+    q_flat = group_flat(q)                     # [N, 64]
+    nz_g = nz.reshape(gcy, 32, gcx, 32, 3).transpose(0, 2, 1, 3, 4)
+    nz_grouped = nz_g.reshape(gcy * gcx, 32, 32, 3)
+    pred = predicted_nonzeroes(nz_grouped)
+    nz_flat = nz_grouped.reshape(-1)
+    pred_flat = pred.reshape(-1)
+    base_flat = jnp.repeat(presets * tables.CONTEXTS_PER_PRESET, 1024 * 3,
+                           total_repeat_length=gcy * gcx * 1024 * 3)
+    blockctx_flat = jnp.tile(jnp.arange(3, dtype=jnp.int32),
+                             gcy * gcx * 1024)
+
+    tokens, clusters, residues, residue_bits, valid_len = tokenize_flat(
+        q_flat, nz_flat, pred_flat, base_flat, blockctx_flat, cluster_map)
+
+    # blocks beyond each group's true varblock extent emit nothing
+    gbh = jnp.clip(vh - jnp.arange(gcy) * 32, 0, 32)     # [gcy]
+    gbw = jnp.clip(vw - jnp.arange(gcx) * 32, 0, 32)     # [gcx]
+    by = jnp.arange(32)
+    bx = jnp.arange(32)
+    ok = ((by[None, :, None, None] < gbh[:, None, None, None])
+          & (bx[None, None, None, :] < gbw[None, None, :, None]))
+    # ok: [gcy, 32, gcx, 32] -> grouped [G, 32, 32] -> flat with channel
+    ok = ok.transpose(0, 2, 1, 3).reshape(gcy * gcx, 32, 32)
+    ok_flat = jnp.repeat(ok.reshape(-1), 3, total_repeat_length=valid_len.size)
+    valid_len = jnp.where(ok_flat, valid_len, 0)
+
+    hist = jnp.zeros((num_clusters, 128), jnp.int32)
+    mask = (jnp.arange(64)[None, :] < valid_len[:, None]).astype(jnp.int32)
+    hist = hist.at[clusters.astype(jnp.int32),
+                   jnp.minimum(tokens, 127).astype(jnp.int32)].add(mask)
+
+    return {
+        "lf_q": lf_q, "lf_res": lf_res, "hist": hist,
+        "tokens": tokens, "clusters": clusters, "residues": residues,
+        "residue_bits": residue_bits, "valid_len": valid_len,
+    }

@@ -3,8 +3,9 @@
 The device path uses direct float math instead of the reference's LUTs,
 so quantized integers may differ on a tiny fraction of coefficients; the
 tests check (a) near-total agreement of quantized ints, (b) exact
-agreement of all derived context/token machinery when fed the same ints,
-(c) end-to-end decodability at reference-level PSNR."""
+agreement of all context/token machinery when fed the same ints, (c)
+histogram correctness, (d) dynamic-valid-dims masking on the fixed-size
+buffer."""
 
 import numpy as np
 import pytest
@@ -26,79 +27,116 @@ def make_image(h, w, seed=0):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def run_both(img):
+def run_jax(img, buf=None):
     h, w = img.shape[:2]
-    gcy, gcx = (h + 255) >> 8, (w + 255) >> 8
+    buf_h = buf or ((h + 255) >> 8) << 8
+    buf_w = buf or ((w + 255) >> 8) << 8
+    px = np.zeros((buf_h, buf_w, 3), np.uint8)
+    px[:h, :w] = img
     cm = tables.hf_cluster_map(1)
+    g = (buf_h >> 8) * (buf_w >> 8)
     out = pipeline.encode_lfg(
-        jnp.asarray(img), jnp.zeros(gcy * gcx, jnp.int32), jnp.asarray(cm),
-        height=h, width=w, linear_light=False, num_clusters=9,
+        jnp.asarray(px), h, w, jnp.zeros(g, jnp.int32), jnp.asarray(cm),
+        buf_h=buf_h, buf_w=buf_w, linear_light=False, num_clusters=9,
         sample_kind="uint8")
-    out = {k: np.asarray(v) for k, v in out.items()}
+    return {k: np.array(v) for k, v in out.items()}
 
+
+def run_numpy(img):
+    h, w = img.shape[:2]
     xyb = np_ops.pixels_to_xyb(img, "uint8", False)
     xyb = np_ops.pad_to_blocks(xyb, h, w)
     coeffs = np_ops.forward_dct(xyb)
     zz = np_ops.zigzag_gather(coeffs)
     hf_q, nz = np_ops.quantize_hf(zz)
     lf_q = np_ops.quantize_lf(coeffs[:, :, 0, 0, :])
-    return out, (lf_q, hf_q, nz)
+    return lf_q, hf_q, nz
 
 
 def test_quantized_agreement():
     img = make_image(256, 256)
-    out, (lf_q, hf_q, nz) = run_both(img)
-    # LF: the DC is smooth; allow off-by-one on a tiny fraction
+    out = run_jax(img)
+    lf_q, hf_q, nz = run_numpy(img)
     diff = np.abs(out["lf_q"].astype(np.int64) - lf_q)
     assert np.mean(diff > 1) == 0.0
     assert np.mean(diff == 1) < 0.02, f"LF mismatch rate {np.mean(diff==1)}"
 
 
 def test_token_machinery_matches_numpy():
-    """Feed the *same* quantized ints through both tokenizers."""
+    """Feed the same quantized ints through jax tokenize_flat and the
+    numpy tokenizer; streams must agree exactly."""
     img = make_image(300, 520, seed=2)
     h, w = img.shape[:2]
-    xyb = np_ops.pad_to_blocks(np_ops.pixels_to_xyb(img, "uint8", False), h, w)
-    coeffs = np_ops.forward_dct(xyb)
-    hf_q, nz = np_ops.quantize_hf(np_ops.zigzag_gather(coeffs))
+    lf_q, hf_q, nz = run_numpy(img)
     cm = tables.hf_cluster_map(1)
-    gcy, gcx = (h + 255) >> 8, (w + 255) >> 8
     vh, vw = (h + 7) >> 3, (w + 7) >> 3
+    gcy, gcx = (h + 255) >> 8, (w + 255) >> 8
 
-    hf_g = pipeline._group_pad(jnp.asarray(hf_q), gcy, gcx)
-    nz_g = pipeline._group_pad(jnp.asarray(nz), gcy, gcx)
-    tok = pipeline.tokenize_groups(hf_g, nz_g,
-                                   jnp.zeros(gcy * gcx, jnp.int32),
-                                   jnp.asarray(cm))
-    tok = {k: np.array(v) for k, v in tok.items()}
-    # mask out blocks beyond the varblock grid, as encode_lfg does
-    for gi in range(gcy * gcx):
-        gy, gx = divmod(gi, gcx)
-        gbh = min(32, vh - gy * 32)
-        gbw = min(32, vw - gx * 32)
-        tok["valid_len"][gi, gbh:, :] = 0
-        tok["valid_len"][gi, :, gbw:] = 0
+    # arrange numpy ints into the flat emission layout the device uses
+    bq = np.zeros((gcy * 32, gcx * 32, 3, 64), np.int32)
+    bnz = np.zeros((gcy * 32, gcx * 32, 3), np.int32)
+    bq[:vh, :vw] = hf_q.transpose(0, 1, 3, 2)[:, :, [1, 0, 2], :]
+    bnz[:vh, :vw] = nz[:, :, [1, 0, 2]]
+    qg = bq.reshape(gcy, 32, gcx, 32, 3, 64).transpose(0, 2, 1, 3, 4, 5)
+    q_flat = jnp.asarray(qg.reshape(-1, 64))
+    nzg = bnz.reshape(gcy, 32, gcx, 32, 3).transpose(0, 2, 1, 3, 4)
+    nz_grouped = jnp.asarray(nzg.reshape(gcy * gcx, 32, 32, 3))
+    pred = pipeline.predicted_nonzeroes(nz_grouped)
+    N = gcy * gcx * 1024 * 3
+    toks = pipeline.tokenize_flat(
+        q_flat, nz_grouped.reshape(-1), pred.reshape(-1),
+        jnp.zeros(N, jnp.int32),
+        jnp.tile(jnp.arange(3, dtype=jnp.int32), gcy * gcx * 1024),
+        jnp.asarray(cm))
+    tokens, clusters, residues, rbits, valid_len = [np.array(t) for t in toks]
+    tokens = tokens.reshape(gcy * gcx, 1024, 3, 64)
+    clusters = clusters.reshape(tokens.shape)
+    residues = residues.reshape(tokens.shape)
+    rbits = rbits.reshape(tokens.shape)
+    valid_len = valid_len.reshape(gcy * gcx, 1024, 3)
 
-    for gi in range(gcy * gcx):
-        gy, gx = divmod(gi, gcx)
-        gbh = min(32, vh - gy * 32)
-        gbw = min(32, vw - gx * 32)
-        ref_tok = tokenize_group(
-            hf_q[gy * 32:gy * 32 + gbh, gx * 32:gx * 32 + gbw],
-            nz[gy * 32:gy * 32 + gbh, gx * 32:gx * 32 + gbw], 0, cm)
-        rt, rc, rr, rb = ref_tok.flatten()
-        mask = (np.arange(64)[None, None, None, :]
-                < tok["valid_len"][gi][..., None])
-        assert np.array_equal(tok["tokens"][gi][mask], rt)
-        assert np.array_equal(tok["clusters"][gi][mask], rc)
-        assert np.array_equal(tok["residues"][gi][mask], rr)
-        assert np.array_equal(tok["residue_bits"][gi][mask], rb)
+    for gy in range(gcy):
+        for gx in range(gcx):
+            gi = gy * gcx + gx
+            gbh = min(32, vh - gy * 32)
+            gbw = min(32, vw - gx * 32)
+            ref_tok = tokenize_group(
+                hf_q[gy * 32:gy * 32 + gbh, gx * 32:gx * 32 + gbw],
+                nz[gy * 32:gy * 32 + gbh, gx * 32:gx * 32 + gbw], 0, cm)
+            rt, rc, rr, rb = ref_tok.flatten()
+            vl = valid_len[gi].reshape(32, 32, 3).copy()
+            vl[gbh:, :] = 0
+            vl[:, gbw:] = 0
+            mask = (np.arange(64)[None, None, None, :]
+                    < vl[..., None])
+            t4 = tokens[gi].reshape(32, 32, 3, 64)
+            c4 = clusters[gi].reshape(32, 32, 3, 64)
+            r4 = residues[gi].reshape(32, 32, 3, 64)
+            b4 = rbits[gi].reshape(32, 32, 3, 64)
+            assert np.array_equal(t4[mask], rt), (gy, gx)
+            assert np.array_equal(c4[mask], rc)
+            assert np.array_equal(r4[mask], rr)
+            assert np.array_equal(b4[mask], rb)
+
+
+def test_valid_len_masks_buffer_padding():
+    """With a buffer bigger than the image, out-of-extent blocks must
+    emit nothing and in-extent results must be unchanged."""
+    img = make_image(100, 70, seed=5)
+    small = run_jax(img)                # 256x256 buffer
+    big = run_jax(img, buf=512)         # 512x512 buffer, 4 groups
+    vl_small = small["valid_len"].reshape(1024, 3)
+    vl_big = big["valid_len"].reshape(4, 1024, 3)
+    # same total symbols; groups 1..3 all empty
+    assert vl_big[1:].sum() == 0
+    assert vl_big[0].sum() == vl_small.sum()
+    assert np.array_equal(big["hist"], small["hist"])
 
 
 def test_histogram_matches_manual():
     img = make_image(256, 256, seed=3)
-    out, _ = run_both(img)
-    mask = np.arange(64)[None, None, None, None, :] < out["valid_len"][..., None]
+    out = run_jax(img)
+    mask = np.arange(64)[None, :] < out["valid_len"][:, None]
     c = out["clusters"][mask]
     t = out["tokens"][mask]
     manual = np.zeros((9, 128), np.int64)
@@ -108,7 +146,8 @@ def test_histogram_matches_manual():
 
 def test_lf_residuals_match():
     img = make_image(300, 520, seed=4)
-    out, (lf_q, _, _) = run_both(img)
-    # compare on equal lf ints: recompute residuals from the device lf_q
-    res = np_ops.pack_signed(np_ops.lf_predict_residuals(out["lf_q"]))
-    assert np.array_equal(out["lf_res"], res)
+    out = run_jax(img)
+    vh, vw = (300 + 7) >> 3, (520 + 7) >> 3
+    lf_q = out["lf_q"][:vh, :vw]
+    res = np_ops.pack_signed(np_ops.lf_predict_residuals(lf_q))
+    assert np.array_equal(out["lf_res"][:vh, :vw], res)
