@@ -866,6 +866,118 @@ HydHF* hyd_hf_new(long num_clusters) {
 }
 void hyd_hf_free(HydHF* h) { delete h; }
 
+// HF coefficient context tables (JXL spec constants; encoder.c:53-66 and
+// hydrium_tpu/ops/tables.py are the documented twins).
+static const int32_t kCoeffFreqCtx[64] = {
+    0,  0,  1,  2,  3,  4,  5,  6,  7,  8,  9,  10, 11, 12, 13, 14,
+    15, 15, 16, 16, 17, 17, 18, 18, 19, 19, 20, 20, 21, 21, 22, 22,
+    23, 23, 23, 23, 24, 24, 24, 24, 25, 25, 25, 25, 26, 26, 26, 26,
+    27, 27, 27, 27, 28, 28, 28, 28, 29, 29, 29, 29, 30, 30, 30, 30};
+static const int32_t kCoeffNumNzCtx[64] = {
+    0,   0,   31,  62,  62,  93,  93,  93,  93,  123, 123, 123, 123,
+    152, 152, 152, 152, 152, 152, 152, 152, 180, 180, 180, 180, 180,
+    180, 180, 180, 180, 180, 180, 180, 206, 206, 206, 206, 206, 206,
+    206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206,
+    206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206, 206};
+
+struct BitReader {
+  const uint32_t* words;
+  size_t bitpos = 0;
+  uint32_t read(int nbits) {
+    if (!nbits) return 0;
+    size_t w = bitpos >> 5;
+    int s = bitpos & 31;
+    uint64_t v = (uint64_t)words[w] >> s;
+    if (s + nbits > 32) v |= (uint64_t)words[w + 1] << (32 - s);
+    bitpos += nbits;
+    return (uint32_t)(v & ((nbits >= 32) ? ~0u : ((1u << nbits) - 1)));
+  }
+};
+
+// Reconstruct one group's HF symbol stream from the device's packed
+// 6-bit tokens + residue bitstream, recomputing contexts exactly as
+// encoder.c:689-750 does, and append to the HF batch.  `valid_len` is
+// [32*32, 3] (count symbol + coefficients per block-channel), blocks in
+// raster order over the padded 32x32 group grid.
+void hyd_hf_add_group_packed(HydHF* h, const uint32_t* token_words,
+                             long tok_bit_off,
+                             const uint32_t* residue_words, long res_bit_off,
+                             const uint8_t* valid_len,
+                             const uint8_t* cluster_map, uint32_t preset) {
+  BitReader tr{token_words, (size_t)tok_bit_off};
+  BitReader rr{residue_words, (size_t)res_bit_off};
+  size_t before = h->syms.size();
+  const uint8_t* cmap = cluster_map + (size_t)1485 * preset;
+  uint8_t counts[32][32][3];
+  for (int by = 0; by < 32; by++) {
+    for (int bx = 0; bx < 32; bx++) {
+      for (int c = 0; c < 3; c++) {
+        int vl = valid_len[(by * 32 + bx) * 3 + c];
+        if (!vl) continue;
+        // count symbol
+        uint32_t tok = tr.read(6);
+        int rb = tok < 16 ? 0 : (int)((tok - 16) >> 1) + 3;
+        uint32_t res = rr.read(rb);
+        uint32_t count =
+            tok < 16 ? tok : ((2u | ((tok - 16) & 1)) << rb) | res;
+        counts[by][bx][c] = (uint8_t)count;
+        uint32_t predicted;
+        if (!bx && !by)
+          predicted = 32;
+        else if (!bx)
+          predicted = counts[by - 1][0][c];
+        else if (!by)
+          predicted = counts[0][bx - 1][c];
+        else
+          predicted = (counts[by - 1][bx][c] + (uint32_t)counts[by][bx - 1][c]
+                       + 1) >> 1;
+        uint32_t nzctx = predicted < 8
+                             ? predicted
+                             : 4 + (std::min<uint32_t>(predicted, 64) >> 1);
+        Sym s;
+        s.token = tok;
+        s.residue = res;
+        s.residue_bits = rb;
+        s.cluster = cmap[3 * nzctx + c];
+        h->syms.push_back(s);
+        uint32_t a = tok + 1;
+        h->max_alphabet_size = std::max(h->max_alphabet_size, a);
+        h->alphabet_sizes[s.cluster] = std::max(h->alphabet_sizes[s.cluster], a);
+
+        uint32_t remaining = count;
+        int prev = count <= 4;
+        int hist = 458 * c + 111;
+        for (int k = 1; k < vl; k++) {
+          tok = tr.read(6);
+          rb = tok < 16 ? 0 : (int)((tok - 16) >> 1) + 3;
+          res = rr.read(rb);
+          int ctx = hist + prev +
+                    ((kCoeffNumNzCtx[remaining > 63 ? 63 : remaining]
+                      + kCoeffFreqCtx[k]) << 1);
+          Sym s2;
+          s2.token = tok;
+          s2.residue = res;
+          s2.residue_bits = rb;
+          s2.cluster = cmap[ctx];
+          h->syms.push_back(s2);
+          a = tok + 1;
+          h->max_alphabet_size = std::max(h->max_alphabet_size, a);
+          h->alphabet_sizes[s2.cluster] =
+              std::max(h->alphabet_sizes[s2.cluster], a);
+          if (tok) {
+            prev = 1;
+            remaining--;
+          } else {
+            prev = 0;
+          }
+        }
+      }
+    }
+  }
+  h->barriers.push_back(h->syms.size() - before);
+  h->presets.push_back(preset);
+}
+
 void hyd_hf_add_group(HydHF* h, const uint16_t* tokens,
                       const uint8_t* clusters, const uint32_t* residues,
                       const uint8_t* rbits, const int32_t* valid_len,

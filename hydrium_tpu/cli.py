@@ -1,0 +1,131 @@
+"""Command-line interface: PNG/PFM in, .jxl out.
+
+Flag-compatible with the reference CLI (src/hydrium.c:27-43):
+  --one-frame, --tile-size=N, --pfm, --png, --linear, --tag-icc-from=F
+plus TPU-era extensions: --backend {jax,numpy}, --verify (decode the
+output with libjxl and report PSNR), --stats.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _read_input(path: str, is_pfm: bool):
+    if is_pfm:
+        from .utils.pfm import read_pfm
+
+        img = read_pfm(path)
+        return img, "float32"
+    from PIL import Image
+
+    im = Image.open(path)
+    if im.mode in ("I;16", "I;16B", "I"):
+        arr = np.asarray(im, dtype=np.uint16)
+        fmt = "uint16"
+    else:
+        im = im.convert("RGB")
+        arr = np.asarray(im, dtype=np.uint8)
+        fmt = "uint8"
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    if arr.shape[-1] == 4:
+        arr = arr[..., :3]
+    return arr, fmt
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="hydrium-tpu",
+        description="TPU-native streaming JPEG XL encoder")
+    p.add_argument("input", help="input .png or .pfm ('-' for stdin PFM)")
+    p.add_argument("output", help="output .jxl ('-' for stdout)")
+    p.add_argument("--one-frame", action="store_true", default=False,
+                   help="use one frame (default unless --tile-size given)")
+    p.add_argument("--tile-size", type=int, default=None, metavar="N",
+                   help="tile size shift 0-3 (tiles are 256*2^N)")
+    p.add_argument("--pfm", action="store_true", help="input is PFM")
+    p.add_argument("--png", action="store_true", help="input is PNG")
+    p.add_argument("--linear", action="store_true",
+                   help="input is linear light (default: sRGB)")
+    p.add_argument("--tag-icc-from", metavar="FILE.icc", default=None,
+                   help="tag output with this ICC profile (one-frame only)")
+    p.add_argument("--backend", choices=("jax", "numpy"), default="jax",
+                   help="math backend (default: jax / TPU)")
+    p.add_argument("--verify", action="store_true",
+                   help="decode the output with libjxl and report PSNR")
+    p.add_argument("--stats", action="store_true",
+                   help="print per-encode statistics to stderr")
+    args = p.parse_args(argv)
+
+    if args.tile_size is not None and args.one_frame:
+        p.error("--one-frame and --tile-size are incompatible")
+    if args.tile_size is not None and not 0 <= args.tile_size <= 3:
+        p.error("tile size must be 0-3")
+    tile_shift = args.tile_size if args.tile_size is not None else -1
+    if args.tag_icc_from and tile_shift >= 0:
+        p.error("--tag-icc-from requires one-frame mode")
+
+    is_pfm = args.pfm or (not args.png and args.input.endswith(".pfm"))
+    img, fmt = _read_input(args.input, is_pfm)
+    if args.pfm or is_pfm:
+        fmt = "float32"
+
+    from .config import ImageMetadata, SampleFormat
+    from .encoder import Encoder
+
+    h, w = img.shape[:2]
+    meta = ImageMetadata(width=w, height=h, linear_light=args.linear,
+                         tile_size_shift_x=tile_shift,
+                         tile_size_shift_y=tile_shift)
+    enc = Encoder(meta, backend=args.backend)
+    if args.tag_icc_from:
+        with open(args.tag_icc_from, "rb") as f:
+            enc.set_suggested_icc_profile(f.read())
+
+    out = (sys.stdout.buffer if args.output == "-"
+           else open(args.output, "wb"))
+    t0 = time.perf_counter()
+    tile = 2048 if meta.one_frame else meta.tile_width
+    total = 0
+    sample_fmt = SampleFormat(fmt)
+    for ty in range((h + tile - 1) // tile):
+        for tx in range((w + tile - 1) // tile):
+            y0, x0 = ty * tile, tx * tile
+            enc.send_tile(img[y0:y0 + tile, x0:x0 + tile], tx, ty,
+                          sample_fmt=sample_fmt)
+            chunk = enc.take_output()
+            out.write(chunk)
+            total += len(chunk)
+    dt = time.perf_counter() - t0
+    if out is not sys.stdout.buffer:
+        out.close()
+
+    if args.stats:
+        print(f"{w}x{h} -> {total} bytes "
+              f"({8.0 * total / (w * h):.3f} bpp) in {dt:.2f}s "
+              f"({w * h / dt / 1e6:.2f} Mpixels/s)", file=sys.stderr)
+
+    if args.verify:
+        from .utils import djxl
+
+        with open(args.output, "rb") as f:
+            dec = djxl.decode(f.read())
+        if fmt == "uint8":
+            ref = img / 255.0
+        elif fmt == "uint16":
+            ref = img / 65535.0
+        else:
+            ref = img
+        p_ = djxl.psnr(ref, dec)
+        print(f"verify: decoded {dec.shape[1]}x{dec.shape[0]}, "
+              f"PSNR {p_:.2f} dB", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

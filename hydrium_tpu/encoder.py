@@ -40,52 +40,94 @@ from .ops import reference as np_ops
 from .ops.hf_tokens import tokenize_group
 
 
-def _lfg_group_streams_numpy(pixels, sample_fmt, linear_light, lfg,
-                             preset: int, cluster_map):
-    """Numpy conformance backend.
-
-    Returns (lf_q, lf_res_packed_or_None, [per-group padded token arrays]):
-    each group entry is (tokens, clusters, residues, residue_bits,
-    valid_len) with leading block dims and trailing [3, 64] / [3]."""
+def _lfg_numpy(pixels, sample_fmt, linear_light, lfg, preset, hf):
+    """Numpy conformance backend: computes, tokenizes, and feeds the HF
+    stream; returns (lf_q, lf_res_packed_or_None)."""
     xyb = np_ops.pixels_to_xyb(pixels, sample_fmt, linear_light)
     xyb = np_ops.pad_to_blocks(xyb, lfg.height, lfg.width)
     coeffs = np_ops.forward_dct(xyb)
     zz = np_ops.zigzag_gather(coeffs)
     hf_q, nz = np_ops.quantize_hf(zz)
     lf_q = np_ops.quantize_lf(coeffs[:, :, 0, 0, :])
-    groups = []
     for gy, gx, gh, gw in lfg.groups():
         gb = (slice(gy * 32, gy * 32 + ((gh + 7) >> 3)),
               slice(gx * 32, gx * 32 + ((gw + 7) >> 3)))
-        tok = tokenize_group(hf_q[gb], nz[gb], preset, cluster_map)
-        groups.append((tok.tokens, tok.clusters, tok.residues,
-                       tok.residue_bits, tok.valid_len))
-    return lf_q, None, groups
+        tok = tokenize_group(hf_q[gb], nz[gb], preset, hf.cluster_map)
+        hf.add_group_padded(tok.tokens, tok.clusters, tok.residues,
+                            tok.residue_bits, tok.valid_len, preset)
+    return lf_q, None
 
 
-def _lfg_group_streams_jax(pixels, sample_fmt, linear_light, lfg,
-                           preset: int, cluster_map):
-    """JAX device backend: batched pipeline on a fixed-size buffer (one
-    compiled executable per tile-size/mode); host slices valid regions."""
+def _prefix_slicer_cache():
+    return {}
+
+
+_SLICERS: dict = {}
+
+
+def _fetch_prefix(arr, nwords: int) -> np.ndarray:
+    """Fetch arr[:nwords] (+1 safety word) with power-of-two bucketed
+    static slices so each buffer size compiles a handful of slicers."""
+    import jax
+
+    n = min(nwords + 1, arr.shape[0])
+    b = 1 << (max(n - 1, 1)).bit_length()
+    b = min(b, arr.shape[0])
+    key = (int(arr.shape[0]), b, str(arr.dtype))
+    f = _SLICERS.get(key)
+    if f is None:
+        f = jax.jit(lambda a, _b=b: a[:_b])
+        _SLICERS[key] = f
+    return np.asarray(f(arr))[:n]
+
+
+def _lfg_jax(pixels, sample_fmt, linear_light, lfg, preset, hf):
+    """JAX device backend with packed near-entropy transfers.
+
+    Runs the fixed-buffer device pipeline (one executable per tile
+    size/mode), ships 6-bit tokens + residue bitstream, and lets the C++
+    walker reconstruct contexts.  Falls back to the padded path if the
+    token stream exceeds the packed format's headroom."""
     import jax.numpy as jnp
-    from .ops.pipeline import encode_lfg
+    from .ops.pipeline import encode_lfg, encode_lfg_packed
 
-    # buffer dims: the nominal (unclipped) tile size for this mode
     buf_h = lfg.tile_count_y << 8
     buf_w = lfg.tile_count_x << 8
     h, w = lfg.height, lfg.width
     px = np.zeros((buf_h, buf_w, 3), dtype=np.asarray(pixels).dtype)
     px[:h, :w] = pixels[:h, :w]
-
     bgcy, bgcx = buf_h >> 8, buf_w >> 8
-    num_clusters = int(cluster_map.max()) + 1
-    out = encode_lfg(
-        jnp.asarray(px), h, w,
-        jnp.full((bgcy * bgcx,), preset, jnp.int32), jnp.asarray(cluster_map),
-        buf_h=buf_h, buf_w=buf_w, linear_light=linear_light,
-        num_clusters=num_clusters, sample_kind=sample_fmt)
-
+    num_clusters = int(hf.cluster_map.max()) + 1
+    kwargs = dict(buf_h=buf_h, buf_w=buf_w, linear_light=linear_light,
+                  num_clusters=num_clusters, sample_kind=sample_fmt)
+    presets_dev = jnp.full((bgcy * bgcx,), preset, jnp.int32)
+    cm_dev = jnp.asarray(hf.cluster_map)
     vh, vw = (h + 7) >> 3, (w + 7) >> 3
+
+    if hf.use_native:
+        out = encode_lfg_packed(jnp.asarray(px), h, w, presets_dev, cm_dev,
+                                **kwargs)
+        if bool(out["ok"]):
+            tok_total = int(out["tok_total_bits"])
+            res_total = int(out["res_total_bits"])
+            tok_words = _fetch_prefix(out["tok6"], (tok_total + 31) // 32)
+            res_words = _fetch_prefix(out["resbits"], (res_total + 31) // 32)
+            valid = np.asarray(out["valid_len"])
+            gs = np.asarray(out["group_syms"]).astype(np.int64)
+            gr = np.asarray(out["group_rbits"]).astype(np.int64)
+            tok_off = 6 * (np.cumsum(gs) - gs)
+            res_off = np.cumsum(gr) - gr
+            for gy in range(lfg.group_count_y):
+                for gx in range(lfg.group_count_x):
+                    gi = gy * bgcx + gx
+                    hf.add_group_packed(
+                        tok_words, int(tok_off[gi]), res_words,
+                        int(res_off[gi]), valid[gi * 3072:(gi + 1) * 3072],
+                        preset)
+            lf_q = np.asarray(out["lf_q"])[:vh, :vw]
+            return lf_q, None
+
+    out = encode_lfg(jnp.asarray(px), h, w, presets_dev, cm_dev, **kwargs)
     lf_q = np.asarray(out["lf_q"])[:vh, :vw]
     lf_res = np.asarray(out["lf_res"])[:vh, :vw]
     tokens = np.asarray(out["tokens"]).reshape(bgcy * bgcx, 1024, 3, 64)
@@ -93,18 +135,17 @@ def _lfg_group_streams_jax(pixels, sample_fmt, linear_light, lfg,
     residues = np.asarray(out["residues"]).reshape(tokens.shape)
     residue_bits = np.asarray(out["residue_bits"]).reshape(tokens.shape)
     valid_len = np.asarray(out["valid_len"]).reshape(bgcy * bgcx, 1024, 3)
-    groups = []
     for gy in range(lfg.group_count_y):
         for gx in range(lfg.group_count_x):
             gi = gy * bgcx + gx
-            groups.append((tokens[gi], clusters[gi], residues[gi],
-                           residue_bits[gi], valid_len[gi]))
-    return lf_q, lf_res, groups
+            hf.add_group_padded(tokens[gi], clusters[gi], residues[gi],
+                                residue_bits[gi], valid_len[gi], preset)
+    return lf_q, lf_res
 
 
 _BACKENDS = {
-    "numpy": _lfg_group_streams_numpy,
-    "jax": _lfg_group_streams_jax,
+    "numpy": _lfg_numpy,
+    "jax": _lfg_jax,
 }
 
 
@@ -239,8 +280,8 @@ class Encoder:
         write_frame_header(main, geo, last)
 
         hf = HFStream(geo.num_presets)
-        lf_q, lf_res, groups = _BACKENDS[self.backend](
-            pixels, fmt, m.linear_light, lfg, 0, hf.cluster_map)
+        lf_q, lf_res = _BACKENDS[self.backend](
+            pixels, fmt, m.linear_light, lfg, 0, hf)
 
         asm = _FrameAssembler(geo.num_frame_groups > 1)
         write_lf_global(asm.working)
@@ -248,8 +289,6 @@ class Encoder:
         write_lf_group(asm.working, lf_q, lf_res)
         asm.end_section()
 
-        for g in groups:
-            hf.add_group_padded(*g, 0)
         hf.encode_group_sections()
         hf.write_hf_global(asm.working, geo.num_frame_groups)
         asm.end_section()
@@ -299,14 +338,11 @@ class Encoder:
         self._sent.add(lfid)
         self._geo.lfg_arrival.append(lfid)
         preset = lfid // self._geo.lfg_per_preset
-        lf_q, lf_res, groups = _BACKENDS[self.backend](
-            pixels, fmt, self.metadata.linear_light, lfg, preset,
-            self._hf.cluster_map)
+        lf_q, lf_res = _BACKENDS[self.backend](
+            pixels, fmt, self.metadata.linear_light, lfg, preset, self._hf)
         asm = self._assembler
         write_lf_group(asm.working, lf_q, lf_res)
         asm.end_section()
-        for g in groups:
-            self._hf.add_group_padded(*g, preset)
 
     def _finalize_one_frame(self) -> None:
         asm = self._assembler

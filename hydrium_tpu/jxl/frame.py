@@ -347,6 +347,14 @@ class HFStream:
                             np.asarray(residues)[mask],
                             np.asarray(residue_bits)[mask]), preset)
 
+    def add_group_packed(self, tok_words, tok_bit_off, res_words,
+                         res_bit_off, valid_len, preset: int) -> None:
+        """Packed device payload (native plane only; encode_lfg_packed)."""
+        assert self.use_native
+        self._native.add_group_packed(tok_words, tok_bit_off, res_words,
+                                      res_bit_off, valid_len,
+                                      self.cluster_map, preset)
+
     def encode_group_sections(self) -> None:
         """Encode every pending group's ANS section (encoder.c:931-952).
 

@@ -75,6 +75,9 @@ def _load():
         lib.hyd_hf_free.argtypes = [P]
         lib.hyd_hf_add_group.argtypes = [P] + [ctypes.c_void_p] * 5 + [
             ctypes.c_long, ctypes.c_uint32]
+        lib.hyd_hf_add_group_packed.argtypes = [
+            P, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32]
         lib.hyd_hf_prepare.restype = ctypes.c_int
         lib.hyd_hf_prepare.argtypes = [P]
         lib.hyd_hf_encode_all.restype = ctypes.c_int
@@ -256,6 +259,21 @@ class NativeHF:
         self._lib.hyd_hf_add_group(self._h, t.ctypes.data, c.ctypes.data,
                                    r.ctypes.data, b.ctypes.data,
                                    v.ctypes.data, n_blocks, preset)
+
+    def add_group_packed(self, tok_words: np.ndarray, tok_bit_off: int,
+                         res_words: np.ndarray, res_bit_off: int,
+                         valid_len: np.ndarray, cluster_map: np.ndarray,
+                         preset: int) -> None:
+        """Packed device payload: 6-bit tokens + residue bitstream; the
+        C++ walker reconstructs contexts (see encode_lfg_packed)."""
+        t = np.ascontiguousarray(tok_words, np.uint32)
+        r = np.ascontiguousarray(res_words, np.uint32)
+        v = np.ascontiguousarray(valid_len, np.uint8)
+        cm = np.ascontiguousarray(cluster_map, np.uint8)
+        self._keepalive = [t, r, v, cm]
+        self._lib.hyd_hf_add_group_packed(
+            self._h, t.ctypes.data, tok_bit_off, r.ctypes.data, res_bit_off,
+            v.ctypes.data, cm.ctypes.data, preset)
 
     def prepare(self) -> None:
         if self._lib.hyd_hf_prepare(self._h) != 0:

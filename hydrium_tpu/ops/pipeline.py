@@ -41,6 +41,10 @@ from __future__ import annotations
 from functools import partial
 from typing import Dict, Tuple
 
+from ..utils import jaxcfg
+
+jaxcfg.ensure()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -293,4 +297,86 @@ def encode_lfg(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
         "lf_q": lf_q, "lf_res": lf_res, "hist": hist,
         "tokens": tokens, "clusters": clusters, "residues": residues,
         "residue_bits": residue_bits, "valid_len": valid_len,
+    }
+
+
+# ---------------------------------------------------------------------------
+# packed-payload variant: near-entropy device->host transfer
+# ---------------------------------------------------------------------------
+
+
+def _bitpack(values: jnp.ndarray, nbits: jnp.ndarray,
+             num_words: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter variable-width fields into a little-endian u32 word array.
+
+    values: [M] uint32 (must be < 2**nbits, 0 where nbits==0)
+    nbits:  [M] int32
+    Returns (words [num_words] u32, total_bits scalar)."""
+    # int32 suffices: <= 12.6M slots * 24 bits < 2^31 total bits
+    nb = nbits.astype(jnp.int32)
+    off = jnp.cumsum(nb) - nb
+    total = off[-1] + nb[-1] if nb.size else jnp.int32(0)
+    word = (off >> 5).astype(jnp.int32)
+    shift = (off & 31).astype(jnp.uint32)
+    v = values.astype(jnp.uint32)
+    lo = v << shift
+    hi = jnp.where(shift > 0, v >> (jnp.uint32(32) - shift), 0)
+    words = jnp.zeros((num_words,), jnp.uint32)
+    words = words.at[word].add(lo, mode="drop")
+    words = words.at[jnp.minimum(word + 1, num_words - 1)].add(
+        hi, mode="drop")
+    return words, total.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("buf_h", "buf_w", "linear_light",
+                                   "num_clusters", "sample_kind"))
+def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
+                      cluster_map: jnp.ndarray, *, buf_h: int, buf_w: int,
+                      linear_light: bool, num_clusters: int,
+                      sample_kind: str) -> Dict[str, jnp.ndarray]:
+    """encode_lfg + on-device stream packing to minimize PCIe/host traffic.
+
+    Instead of padded [N, 64] token/residue arrays (~8 B/slot), ships:
+      - tok6:      6-bit-packed valid tokens, in emission order
+      - resbits:   concatenated raw residue bits
+      - valid_len: u8 per block-channel
+      - counts:    per-group symbol counts + residue bit counts
+      - ok:        0 when any token exceeded 6 bits (caller must fall back)
+    The host C++ walker reconstructs contexts/clusters from the token
+    stream alone (it mirrors encoder.c:689-750), so clusters and
+    residue_bits never cross the interconnect."""
+    out = encode_lfg(pixels, height, width, presets, cluster_map,
+                     buf_h=buf_h, buf_w=buf_w, linear_light=linear_light,
+                     num_clusters=num_clusters, sample_kind=sample_kind)
+    tokens = out["tokens"]            # [N, 64] u16
+    residues = out["residues"]        # [N, 64] u32
+    residue_bits = out["residue_bits"]
+    valid_len = out["valid_len"]      # [N]
+    N = valid_len.shape[0]
+    G = N // (1024 * 3)
+    M = N * 64
+
+    valid = (jnp.arange(64)[None, :] < valid_len[:, None])
+    tok_ok = jnp.all(jnp.where(valid, tokens, 0) < 64)
+
+    t_flat = jnp.where(valid, tokens, 0).astype(jnp.uint32).reshape(M)
+    t_bits = jnp.where(valid, 6, 0).astype(jnp.int32).reshape(M)
+    r_flat = jnp.where(valid, residues, 0).reshape(M)
+    r_bits = jnp.where(valid, residue_bits.astype(jnp.int32), 0).reshape(M)
+
+    res_cap_words = (M * 24 + 31) // 32
+    tok_words, tok_total = _bitpack(t_flat, t_bits, (M * 6 + 31) // 32)
+    res_words, res_total = _bitpack(r_flat, r_bits, res_cap_words)
+    tok_ok = tok_ok & (res_total <= res_cap_words * 32)
+
+    per_group_syms = valid_len.reshape(G, -1).sum(axis=1).astype(jnp.int32)
+    per_group_rbits = (r_bits.reshape(G, -1).sum(axis=1)).astype(jnp.int32)
+
+    return {
+        "lf_q": out["lf_q"], "hist": out["hist"],
+        "tok6": tok_words, "resbits": res_words,
+        "tok_total_bits": tok_total, "res_total_bits": res_total,
+        "valid_len": valid_len.astype(jnp.uint8),
+        "group_syms": per_group_syms, "group_rbits": per_group_rbits,
+        "ok": tok_ok,
     }

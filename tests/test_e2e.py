@@ -109,3 +109,15 @@ def test_jax_backend_tiled_decodes():
     ref = ref_hydrium.encode(img, tile_size_shift=0)
     p_ref = djxl.psnr(img / 255.0, djxl.decode(ref))
     assert p >= p_ref - 0.05, f"jax backend PSNR {p} vs reference {p_ref}"
+
+
+def test_jax_packed_equals_reference_modes():
+    """The packed-transfer jax path must produce valid streams at
+    reference-or-better PSNR; and numpy-vs-jax differ only via FP."""
+    img = make_image(300, 520, "noise", seed=11)
+    mine = encode_image(img, tile_size_shift=-1, backend="jax")
+    dec = djxl.decode(mine)
+    ref = ref_hydrium.encode(img, tile_size_shift=-1)
+    p = djxl.psnr(img / 255.0, dec)
+    p_ref = djxl.psnr(img / 255.0, djxl.decode(ref))
+    assert p >= p_ref - 0.05, (p, p_ref)
