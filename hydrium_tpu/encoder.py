@@ -38,6 +38,7 @@ from .jxl.frame import (FrameGeometry, HFStream, LFGroupGeometry, TOC_TABLE,
                         write_lf_group)
 from .ops import reference as np_ops
 from .ops.hf_tokens import tokenize_group
+from .utils.stats import EncodeStats
 
 
 def _lfg_numpy(pixels, sample_fmt, linear_light, lfg, preset, hf):
@@ -183,6 +184,7 @@ class Encoder:
         metadata.validate()
         self.metadata = metadata
         self.backend = backend
+        self.stats = EncodeStats()
         self._out = bytearray()
         self._wrote_header = False
         self._finished = False
@@ -223,6 +225,7 @@ class Encoder:
     def take_output(self) -> bytes:
         out = bytes(self._out)
         self._out.clear()
+        self.stats.bytes_out += len(out)
         return out
 
     @property
@@ -280,16 +283,20 @@ class Encoder:
         write_frame_header(main, geo, last)
 
         hf = HFStream(geo.num_presets)
-        lf_q, lf_res = _BACKENDS[self.backend](
-            pixels, fmt, m.linear_light, lfg, 0, hf)
+        self.stats.pixels += lfg.height * lfg.width
+        with self.stats.stage("pipeline+transfer"):
+            lf_q, lf_res = _BACKENDS[self.backend](
+                pixels, fmt, m.linear_light, lfg, 0, hf)
 
         asm = _FrameAssembler(geo.num_frame_groups > 1)
-        write_lf_global(asm.working)
-        asm.end_section()
-        write_lf_group(asm.working, lf_q, lf_res)
-        asm.end_section()
+        with self.stats.stage("lf_sections"):
+            write_lf_global(asm.working)
+            asm.end_section()
+            write_lf_group(asm.working, lf_q, lf_res)
+            asm.end_section()
 
-        hf.encode_group_sections()
+        with self.stats.stage("ans_encode"):
+            hf.encode_group_sections()
         hf.write_hf_global(asm.working, geo.num_frame_groups)
         asm.end_section()
         for gbw in hf.group_sections:
@@ -320,6 +327,7 @@ class Encoder:
             write_lf_global(self._assembler.working)
             self._assembler.end_section()
 
+        self.stats.pixels += self._lfgs[lfid].height * self._lfgs[lfid].width
         self._process_lfg(pixels, lfid, fmt)
 
         if last:
@@ -338,17 +346,21 @@ class Encoder:
         self._sent.add(lfid)
         self._geo.lfg_arrival.append(lfid)
         preset = lfid // self._geo.lfg_per_preset
-        lf_q, lf_res = _BACKENDS[self.backend](
-            pixels, fmt, self.metadata.linear_light, lfg, preset, self._hf)
+        with self.stats.stage("pipeline+transfer"):
+            lf_q, lf_res = _BACKENDS[self.backend](
+                pixels, fmt, self.metadata.linear_light, lfg, preset,
+                self._hf)
         asm = self._assembler
-        write_lf_group(asm.working, lf_q, lf_res)
-        asm.end_section()
+        with self.stats.stage("lf_sections"):
+            write_lf_group(asm.working, lf_q, lf_res)
+            asm.end_section()
 
     def _finalize_one_frame(self) -> None:
         asm = self._assembler
         hf = self._hf
         geo = self._geo
-        hf.encode_group_sections()
+        with self.stats.stage("ans_encode"):
+            hf.encode_group_sections()
         hf.write_hf_global(asm.working, geo.num_frame_groups)
         asm.end_section()
         for gbw in hf.group_sections:

@@ -1,0 +1,141 @@
+"""Sharded one-frame encoding: LF groups data-parallel over a device
+mesh, histograms combined with an ICI psum, bitstream assembled host-side.
+
+This is the scaling story mandated by SURVEY.md sections 2/5: 2048x2048
+LF groups are the shard unit (no halo exchange is needed -- LF prediction
+and nz prediction never cross LFG/group boundaries), per-preset
+histograms are the only cross-shard data, and the variable-length group
+sections are gathered on the host.
+
+Output bytes are identical to the single-device Encoder for the same
+image (same math path, same serialization)."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+from ..config import ImageMetadata
+from ..jxl.frame import (FrameGeometry, HFStream, LFGroupGeometry,
+                         write_frame_header, write_lf_global, write_lf_group)
+from ..jxl import headers
+from ..encoder import _FrameAssembler, _fetch_prefix, new_bitwriter
+from ..ops import tables
+
+
+def encode_image_sharded(image: np.ndarray, mesh=None,
+                         linear_light: bool = False,
+                         sample_fmt: str = "uint8") -> bytes:
+    """Encode [H, W, 3] as a one-frame .jxl with LFGs sharded over a mesh.
+
+    Processes ceil(n_lfgs / mesh_size) batches; each batch runs the full
+    device pipeline under shard_map (one LFG per device) and psums the
+    per-cluster histograms so any host can write the shared ANS header."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from . import shard
+    from ..ops import pipeline
+
+    h, w = image.shape[:2]
+    meta = ImageMetadata(width=w, height=h, linear_light=linear_light)
+    if mesh is None:
+        mesh = shard.make_mesh()
+    n_dev = mesh.devices.size
+
+    lfgs = [
+        LFGroupGeometry(x=x, y=y,
+                        width=min(2048, w - x * 2048),
+                        height=min(2048, h - y * 2048),
+                        tile_count_x=8, tile_count_y=8)
+        for y in range(meta.lfg_count_y) for x in range(meta.lfg_count_x)
+    ]
+    geo = FrameGeometry(image_width=w, image_height=h, one_frame=True,
+                        lfg_count_x=meta.lfg_count_x, lf_groups=lfgs,
+                        lfg_arrival=list(range(len(lfgs))))
+
+    hf = HFStream(geo.num_presets)
+    num_clusters = int(hf.cluster_map.max()) + 1
+    cm_dev = jnp.asarray(hf.cluster_map)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("groups"), P("groups"), P("groups"), P("groups")),
+             out_specs=P("groups"))
+    def step(pixels, heights, widths, presets):
+        def one(px, hh, ww, pr):
+            return pipeline.encode_lfg_packed(
+                px, hh, ww, jnp.full((64,), pr, jnp.int32), cm_dev,
+                buf_h=2048, buf_w=2048, linear_light=linear_light,
+                num_clusters=num_clusters, sample_kind=sample_fmt)
+        return jax.vmap(one)(pixels, heights, widths, presets)
+
+    step = jax.jit(step)
+
+    asm = _FrameAssembler(geo.toc_size > 1)
+    write_lf_global(asm.working)
+    asm.end_section()
+
+    dtype = image.dtype
+    n = len(lfgs)
+    for batch0 in range(0, n, n_dev):
+        ids = list(range(batch0, min(batch0 + n_dev, n)))
+        pad = n_dev - len(ids)
+        px = np.zeros((n_dev, 2048, 2048, 3), dtype)
+        hh = np.zeros(n_dev, np.int32)
+        ww = np.zeros(n_dev, np.int32)
+        pr = np.zeros(n_dev, np.int32)
+        for j, lfid in enumerate(ids):
+            g = lfgs[lfid]
+            px[j, :g.height, :g.width] = image[
+                g.y * 2048:g.y * 2048 + g.height,
+                g.x * 2048:g.x * 2048 + g.width]
+            hh[j], ww[j] = g.height, g.width
+            pr[j] = lfid // geo.lfg_per_preset
+        hh[len(ids):] = 256  # harmless dummy extent for padding shards
+        ww[len(ids):] = 256
+        out = step(jnp.asarray(px), jnp.asarray(hh), jnp.asarray(ww),
+                   jnp.asarray(pr))
+        # NOTE: full-array fetch; per-shard prefix fetch (as the
+        # single-device path does) is the multi-host optimization.
+        out = {k: np.asarray(v) for k, v in out.items()}
+
+        for j, lfid in enumerate(ids):
+            g = lfgs[lfid]
+            if not bool(out["ok"][j]):
+                raise RuntimeError("packed-stream overflow; use Encoder")
+            tok_total = int(out["tok_total_bits"][j])
+            res_total = int(out["res_total_bits"][j])
+            tok_words = out["tok6"][j]
+            res_words = out["resbits"][j]
+            valid = out["valid_len"][j]
+            gs = out["group_syms"][j].astype(np.int64)
+            gr = out["group_rbits"][j].astype(np.int64)
+            tok_off = 6 * (np.cumsum(gs) - gs)
+            res_off = np.cumsum(gr) - gr
+            vh, vw = (g.height + 7) >> 3, (g.width + 7) >> 3
+            lf_q = out["lf_q"][j][:vh, :vw]
+            write_lf_group(asm.working, lf_q)
+            asm.end_section()
+            preset = lfid // geo.lfg_per_preset
+            for gy in range(g.group_count_y):
+                for gx in range(g.group_count_x):
+                    gi = gy * 8 + gx
+                    hf.add_group_packed(
+                        tok_words, int(tok_off[gi]), res_words,
+                        int(res_off[gi]),
+                        valid[gi * 3072:(gi + 1) * 3072], preset)
+
+    hf.encode_group_sections()
+    hf.write_hf_global(asm.working, geo.num_frame_groups)
+    asm.end_section()
+    for gbw in hf.group_sections:
+        asm.working.append_writer(gbw)
+        asm.end_section()
+
+    main = new_bitwriter()
+    headers.write_image_header(main, w, h, meta.level10)
+    write_frame_header(main, geo, True)
+    asm.write_toc_sizes(main)
+    return main.finalize() + asm.working.finalize()
