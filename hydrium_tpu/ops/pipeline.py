@@ -364,19 +364,31 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
     r_flat = jnp.where(valid, residues, 0).reshape(M)
     r_bits = jnp.where(valid, residue_bits.astype(jnp.int32), 0).reshape(M)
 
+    tok_cap_words = (M * 6 + 31) // 32
     res_cap_words = (M * 24 + 31) // 32
-    tok_words, tok_total = _bitpack(t_flat, t_bits, (M * 6 + 31) // 32)
+    tok_words, tok_total = _bitpack(t_flat, t_bits, tok_cap_words)
     res_words, res_total = _bitpack(r_flat, r_bits, res_cap_words)
     tok_ok = tok_ok & (res_total <= res_cap_words * 32)
 
     per_group_syms = valid_len.reshape(G, -1).sum(axis=1).astype(jnp.int32)
     per_group_rbits = (r_bits.reshape(G, -1).sum(axis=1)).astype(jnp.int32)
 
-    return {
-        "lf_q": out["lf_q"], "hist": out["hist"],
-        "tok6": tok_words, "resbits": res_words,
-        "tok_total_bits": tok_total, "res_total_bits": res_total,
-        "valid_len": valid_len.astype(jnp.uint8),
-        "group_syms": per_group_syms, "group_rbits": per_group_rbits,
-        "ok": tok_ok,
-    }
+    # One aux array + one combined stream buffer: the remote-TPU tunnel
+    # charges high per-transfer latency, so the host does exactly two
+    # device->host fetches per LF group (aux, then a bucketed prefix of
+    # the combined streams).
+    valid_u8 = valid_len.astype(jnp.uint8)
+    pad = (-valid_u8.size) % 4
+    valid_i32 = jax.lax.bitcast_convert_type(
+        jnp.pad(valid_u8, (0, pad)).reshape(-1, 4), jnp.int32).reshape(-1)
+    aux = jnp.concatenate([
+        jnp.stack([tok_ok.astype(jnp.int32), tok_total, res_total]),
+        per_group_syms, per_group_rbits, valid_i32,
+        out["lf_q"].reshape(-1),
+    ])
+    tok_used = (tok_total + 31) >> 5
+    streams = jnp.zeros((tok_cap_words + res_cap_words,), jnp.uint32)
+    streams = jax.lax.dynamic_update_slice(streams, tok_words, (0,))
+    streams = jax.lax.dynamic_update_slice(streams, res_words, (tok_used,))
+
+    return {"aux": aux, "streams": streams, "hist": out["hist"]}

@@ -101,21 +101,27 @@ def encode_image_sharded(image: np.ndarray, mesh=None,
         # single-device path does) is the multi-host optimization.
         out = {k: np.asarray(v) for k, v in out.items()}
 
+        G = 64
+        N = G * 3072
+        nv = N // 4
         for j, lfid in enumerate(ids):
             g = lfgs[lfid]
-            if not bool(out["ok"][j]):
+            aux = out["aux"][j]
+            if not bool(aux[0]):
                 raise RuntimeError("packed-stream overflow; use Encoder")
-            tok_total = int(out["tok_total_bits"][j])
-            res_total = int(out["res_total_bits"][j])
-            tok_words = out["tok6"][j]
-            res_words = out["resbits"][j]
-            valid = out["valid_len"][j]
-            gs = out["group_syms"][j].astype(np.int64)
-            gr = out["group_rbits"][j].astype(np.int64)
+            tok_total, res_total = int(aux[1]), int(aux[2])
+            gs = aux[3:3 + G].astype(np.int64)
+            gr = aux[3 + G:3 + 2 * G].astype(np.int64)
+            valid = np.ascontiguousarray(
+                aux[3 + 2 * G:3 + 2 * G + nv]).view(np.uint8)[:N]
+            vh, vw = (g.height + 7) >> 3, (g.width + 7) >> 3
+            lf_q = aux[3 + 2 * G + nv:].reshape(256, 256, 3)[:vh, :vw]
+            tok_used = (tok_total + 31) >> 5
+            words = out["streams"][j]
+            tok_words = words[:tok_used + 1]
+            res_words = np.ascontiguousarray(words[tok_used:])
             tok_off = 6 * (np.cumsum(gs) - gs)
             res_off = np.cumsum(gr) - gr
-            vh, vw = (g.height + 7) >> 3, (g.width + 7) >> 3
-            lf_q = out["lf_q"][j][:vh, :vw]
             write_lf_group(asm.working, lf_q)
             asm.end_section()
             preset = lfid // geo.lfg_per_preset
