@@ -105,7 +105,9 @@ class _JaxDispatch:
         num_clusters = int(hf.cluster_map.max()) + 1
         self.kwargs = dict(buf_h=buf_h, buf_w=buf_w,
                            linear_light=linear_light,
-                           num_clusters=num_clusters, sample_kind=sample_fmt)
+                           num_clusters=num_clusters, sample_kind=sample_fmt,
+                           use_pallas=os.environ.get(
+                               "HYDRIUM_PALLAS", "0") == "1")
         self.presets_dev = jnp.full((bgcy * bgcx,), preset, jnp.int32)
         self.cm_dev = jnp.asarray(hf.cluster_map)
         self.px = jnp.asarray(px)

@@ -211,49 +211,27 @@ def tokenize_flat(q: jnp.ndarray, nz_flat: jnp.ndarray, pred_flat: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("buf_h", "buf_w", "linear_light",
-                                   "num_clusters", "sample_kind"))
+                                   "num_clusters", "sample_kind",
+                                   "use_pallas"))
 def encode_lfg(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
                cluster_map: jnp.ndarray, *, buf_h: int, buf_w: int,
                linear_light: bool, num_clusters: int,
-               sample_kind: str) -> Dict[str, jnp.ndarray]:
+               sample_kind: str,
+               use_pallas: bool = False) -> Dict[str, jnp.ndarray]:
     """Full device pipeline for one LF group (or one tile-frame).
 
     pixels: [buf_h, buf_w, 3] padded buffer; `height`/`width` are the true
     dims (traced scalars) so one executable serves every LFG shape.
     presets: [G_buf] preset per group (raster over the buffer's group
-    grid).  Returns device arrays; the host slices valid regions."""
+    grid).  use_pallas selects the fused Pallas frontend (color/DCT/
+    quant in one VMEM pass) over the plain-XLA ops.
+    Returns device arrays; the host slices valid regions."""
     vbh, vbw = buf_h >> 3, buf_w >> 3          # buffer varblock grid
     gcy, gcx = buf_h >> 8, buf_w >> 8          # buffer group grid
     height = jnp.asarray(height, jnp.int32)
     width = jnp.asarray(width, jnp.int32)
     vh = (height + 7) >> 3
     vw = (width + 7) >> 3
-
-    if sample_kind == "uint8":
-        rgb = pixels.astype(jnp.float32) * np.float32(1.0 / 255.0)
-    elif sample_kind == "uint16":
-        rgb = pixels.astype(jnp.float32) * np.float32(1.0 / 65535.0)
-    else:
-        rgb = pixels.astype(jnp.float32)
-    xyb = rgb_to_xyb(rgb, linear_light)
-    # zero everything beyond the true image extent (format.c:182-191)
-    row_ok = jnp.arange(buf_h)[:, None, None] < height
-    col_ok = jnp.arange(buf_w)[None, :, None] < width
-    xyb = jnp.where(row_ok & col_ok, xyb, 0.0)
-
-    coeffs = forward_dct(xyb)                  # [vbh, vbw, 8, 8, 3]
-    lf_q = quantize_lf(coeffs[:, :, 0, 0, :])
-    lf_res = lf_residuals(lf_q)
-
-    # fused zig-zag + emission-channel reorder: -> [vbh, vbw, 3, 64]
-    zz = coeffs.reshape(vbh, vbw, 192)[:, :, jnp.asarray(_ZZ_GATHER)]
-    zz = zz.reshape(vbh, vbw, 3, 64)
-
-    w_emit = jnp.asarray(_HF_W_EMIT)
-    q = ((zz * w_emit) * np.float32(tables.HF_MULT)).astype(jnp.int32)
-    q = jnp.where(jnp.abs(q) < 2, 0, q)
-    q = q.at[..., 0].set(0)
-    nz = jnp.sum((q != 0).astype(jnp.int32), axis=-1)   # [vbh, vbw, 3]
 
     # -> grouped layout [G, 32, 32, 3(, 64)] -> flat [N(, 64)]
     def group_flat(x):
@@ -262,11 +240,53 @@ def encode_lfg(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
         return g.transpose(perm).reshape((gcy * gcx * 1024 * 3,)
                                          + x.shape[3:])
 
-    q_flat = group_flat(q)                     # [N, 64]
-    nz_g = nz.reshape(gcy, 32, gcx, 32, 3).transpose(0, 2, 1, 3, 4)
-    nz_grouped = nz_g.reshape(gcy * gcx, 32, 32, 3)
+    if use_pallas:
+        from .pallas.frontend import frontend_groups
+
+        # zero pixels beyond the true image extent, then feed the fused
+        # kernel per 256x256 group
+        row_ok = jnp.arange(buf_h)[:, None, None] < height
+        col_ok = jnp.arange(buf_w)[None, :, None] < width
+        px = jnp.where(row_ok & col_ok, pixels, 0)
+        groups = px.reshape(gcy, 256, gcx, 256, 3).transpose(
+            0, 2, 1, 3, 4).reshape(gcy * gcx, 256, 256, 3)
+        q_groups, dc_groups = frontend_groups(
+            groups, linear_light=linear_light, sample_kind=sample_kind)
+        q_flat = q_groups.reshape(-1, 64)      # [N, 64] emission order
+        # dc back to the [vbh, vbw, 3] varblock grid
+        lf_q = dc_groups.reshape(gcy, gcx, 32, 32, 3).transpose(
+            0, 2, 1, 3, 4).reshape(vbh, vbw, 3)
+        lf_res = lf_residuals(lf_q)
+    else:
+        if sample_kind == "uint8":
+            rgb = pixels.astype(jnp.float32) * np.float32(1.0 / 255.0)
+        elif sample_kind == "uint16":
+            rgb = pixels.astype(jnp.float32) * np.float32(1.0 / 65535.0)
+        else:
+            rgb = pixels.astype(jnp.float32)
+        xyb = rgb_to_xyb(rgb, linear_light)
+        # zero everything beyond the true image extent (format.c:182-191)
+        row_ok = jnp.arange(buf_h)[:, None, None] < height
+        col_ok = jnp.arange(buf_w)[None, :, None] < width
+        xyb = jnp.where(row_ok & col_ok, xyb, 0.0)
+
+        coeffs = forward_dct(xyb)              # [vbh, vbw, 8, 8, 3]
+        lf_q = quantize_lf(coeffs[:, :, 0, 0, :])
+        lf_res = lf_residuals(lf_q)
+
+        # fused zig-zag + emission-channel reorder: -> [vbh, vbw, 3, 64]
+        zz = coeffs.reshape(vbh, vbw, 192)[:, :, jnp.asarray(_ZZ_GATHER)]
+        zz = zz.reshape(vbh, vbw, 3, 64)
+
+        w_emit = jnp.asarray(_HF_W_EMIT)
+        q = ((zz * w_emit) * np.float32(tables.HF_MULT)).astype(jnp.int32)
+        q = jnp.where(jnp.abs(q) < 2, 0, q)
+        q = q.at[..., 0].set(0)
+        q_flat = group_flat(q)                 # [N, 64]
+
+    nz_flat = jnp.sum((q_flat != 0).astype(jnp.int32), axis=-1)
+    nz_grouped = nz_flat.reshape(gcy * gcx, 32, 32, 3)
     pred = predicted_nonzeroes(nz_grouped)
-    nz_flat = nz_grouped.reshape(-1)
     pred_flat = pred.reshape(-1)
     base_flat = jnp.repeat(presets * tables.CONTEXTS_PER_PRESET, 1024 * 3,
                            total_repeat_length=gcy * gcx * 1024 * 3)
@@ -329,11 +349,13 @@ def _bitpack(values: jnp.ndarray, nbits: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("buf_h", "buf_w", "linear_light",
-                                   "num_clusters", "sample_kind"))
+                                   "num_clusters", "sample_kind",
+                                   "use_pallas"))
 def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
                       cluster_map: jnp.ndarray, *, buf_h: int, buf_w: int,
                       linear_light: bool, num_clusters: int,
-                      sample_kind: str) -> Dict[str, jnp.ndarray]:
+                      sample_kind: str,
+                      use_pallas: bool = False) -> Dict[str, jnp.ndarray]:
     """encode_lfg + on-device stream packing to minimize PCIe/host traffic.
 
     Instead of padded [N, 64] token/residue arrays (~8 B/slot), ships:
@@ -347,7 +369,8 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
     residue_bits never cross the interconnect."""
     out = encode_lfg(pixels, height, width, presets, cluster_map,
                      buf_h=buf_h, buf_w=buf_w, linear_light=linear_light,
-                     num_clusters=num_clusters, sample_kind=sample_kind)
+                     num_clusters=num_clusters, sample_kind=sample_kind,
+                     use_pallas=use_pallas)
     tokens = out["tokens"]            # [N, 64] u16
     residues = out["residues"]        # [N, 64] u32
     residue_bits = out["residue_bits"]
