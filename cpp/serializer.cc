@@ -856,6 +856,8 @@ struct HydHF {
   std::vector<std::vector<uint32_t>> freqs;
   std::vector<AliasTable> aliases;
   int las = 0;
+  int las_forced = 0;  // streaming mode fixes las so per-preset flushes
+                       // stay consistent with the shared header
 };
 
 HydHF* hyd_hf_new(long num_clusters) {
@@ -1012,7 +1014,10 @@ int hyd_hf_prepare(HydHF* h) {
     for (size_t c = 0; c < h->num_clusters; c++)
       h->freqs[c].assign(h->alphabet_sizes[c], 0);
     for (const Sym& s : h->syms) h->freqs[s.cluster][s.token]++;
-    h->las = std::max(cllog2(h->max_alphabet_size), 5);
+    h->las = h->las_forced ? h->las_forced
+                           : std::max(cllog2(h->max_alphabet_size), 5);
+    if ((uint32_t)(1u << h->las) < h->max_alphabet_size)
+      throw std::runtime_error("alphabet exceeds forced las");
     h->aliases.assign(h->num_clusters, {});
     for (size_t c = 0; c < h->num_clusters; c++) {
       if (!h->alphabet_sizes[c]) continue;
@@ -1042,6 +1047,7 @@ int hyd_hf_encode_group(HydHF* h, long g, int preset_bits, HydWriter* w) {
 
 long hyd_hf_num_groups(HydHF* h) { return (long)h->barriers.size(); }
 int hyd_hf_las(HydHF* h) { return h->las; }
+void hyd_hf_force_las(HydHF* h, int las) { h->las_forced = las; }
 long hyd_hf_max_alphabet(HydHF* h) { return h->max_alphabet_size; }
 
 // Copy out normalized frequencies for cluster c (for the Python-side

@@ -34,9 +34,9 @@ import numpy as np
 from .config import ImageMetadata, SampleFormat
 from .jxl.bitwriter import BitWriter
 from .jxl import headers
-from .jxl.frame import (FrameGeometry, HFStream, LFGroupGeometry, TOC_TABLE,
-                        new_bitwriter, write_frame_header, write_lf_global,
-                        write_lf_group)
+from .jxl.frame import (FrameGeometry, HFStream, LFGroupGeometry,
+                        StreamingHFStream, TOC_TABLE, new_bitwriter,
+                        write_frame_header, write_lf_global, write_lf_group)
 from .ops import reference as np_ops
 from .ops.hf_tokens import tokenize_group
 from .utils.stats import EncodeStats
@@ -228,16 +228,29 @@ class _FrameAssembler:
 class Encoder:
     """Streaming encoder with hydrium's tile contract."""
 
-    def __init__(self, metadata: ImageMetadata, backend: str = "numpy") -> None:
+    # one-frame encodes with at least this many LF groups switch to the
+    # memory-bounded streaming HF path (per-preset eager ANS encoding)
+    STREAMING_LFG_THRESHOLD = int(
+        os.environ.get("HYDRIUM_STREAMING_THRESHOLD", "17"))
+
+    def __init__(self, metadata: ImageMetadata, backend: str = "numpy",
+                 streaming: Optional[bool] = None,
+                 spool_dir: Optional[str] = None) -> None:
         metadata.validate()
         self.metadata = metadata
         self.backend = backend
+        self.spool_dir = spool_dir
         self.stats = EncodeStats()
         self._out = bytearray()
         self._wrote_header = False
         self._finished = False
 
         m = metadata
+        from .jxl import native as _native
+        self.streaming = (streaming if streaming is not None
+                          else (m.one_frame
+                                and m.lfg_per_frame >= self.STREAMING_LFG_THRESHOLD
+                                and _native.available()))
         if m.one_frame:
             self._lfgs = [
                 LFGroupGeometry(
@@ -371,7 +384,15 @@ class Encoder:
 
         if self._assembler is None:
             self._assembler = _FrameAssembler(self._geo.toc_size > 1)
-            self._hf = HFStream(self._geo.num_presets)
+            if self.streaming:
+                geo = self._geo
+                counts = [0] * geo.num_presets
+                for _id in range(geo.lfg_per_frame):
+                    counts[_id // geo.lfg_per_preset] += 1
+                self._hf = StreamingHFStream(geo.num_presets, counts,
+                                             spool_dir=self.spool_dir)
+            else:
+                self._hf = HFStream(self._geo.num_presets)
             self._pending = []
             write_lf_global(self._assembler.working)
             self._assembler.end_section()
@@ -415,12 +436,18 @@ class Encoder:
                     pixels, fmt, self.metadata.linear_light, lfg, preset,
                     self._hf)
             self._write_lf(lf_q, lf_res)
+            if self.streaming:
+                with self.stats.stage("ans_encode"):
+                    self._hf.finish_lfg(preset)
 
     def _drain_one(self) -> None:
         handle = self._pending.pop(0)
         with self.stats.stage("pipeline+transfer"):
             lf_q, lf_res = handle.drain(self._hf, self.stats)
         self._write_lf(lf_q, lf_res)
+        if self.streaming:
+            with self.stats.stage("ans_encode"):
+                self._hf.finish_lfg(handle.preset)
 
     def _write_lf(self, lf_q, lf_res) -> None:
         asm = self._assembler
@@ -436,9 +463,15 @@ class Encoder:
             hf.encode_group_sections()
         hf.write_hf_global(asm.working, geo.num_frame_groups)
         asm.end_section()
-        for gbw in hf.group_sections:
-            asm.working.append_writer(gbw)
-            asm.end_section()
+        if self.streaming:
+            for data, tail_val, tail_bits in hf.iter_sections():
+                asm.working.append_bytes(data)
+                asm.working.write(tail_val, tail_bits)
+                asm.end_section()
+        else:
+            for gbw in hf.group_sections:
+                asm.working.append_writer(gbw)
+                asm.end_section()
 
         main = new_bitwriter()
         if not self._wrote_header:

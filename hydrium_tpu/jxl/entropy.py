@@ -525,6 +525,32 @@ def ans_encode_symbols(tokens: Sequence[int], clusters: Sequence[int],
         bw.write(residues[p], residue_bits[p])
 
 
+def write_cluster_map(bw: BitWriter, cluster_map: Sequence[int],
+                      num_dists: int, num_clusters: int) -> None:
+    """Context->cluster map coding: simple <=3-bit form or MTF + nested
+    prefix stream (entropy.c:108-167)."""
+    if num_dists == 1:
+        return
+    nbits = cllog2(num_clusters)
+    if nbits <= 3 and num_dists * nbits <= 32:
+        bw.write_bool(True)
+        bw.write(nbits, 2)
+        for c in cluster_map[:num_dists]:
+            bw.write(int(c), nbits)
+        return
+    bw.write_bool(False)
+    bw.write_bool(True)  # use_mtf
+    nested = EntropyStream([0], 1, custom_configs=True, lz77_min_symbol=64)
+    nested.set_hybrid_config(0, 0, 4, 1, 0)
+    mtf = list(range(256))
+    for j in range(num_dists):
+        index = mtf.index(cluster_map[j])
+        nested.send_symbol(0, index)
+        if index:
+            mtf.insert(0, mtf.pop(index))
+    nested.prefix_finalize(bw)
+
+
 # ---------------------------------------------------------------------------
 # EntropyStream
 # ---------------------------------------------------------------------------
@@ -670,28 +696,8 @@ class EntropyStream:
                 self.frequencies[c][self.tokens[p]] += 1
 
     def _write_cluster_map(self, bw: BitWriter) -> None:
-        """entropy.c:108-167."""
-        if self.num_dists == 1:
-            return
-        nbits = cllog2(self.num_clusters)
-        if nbits <= 3 and self.num_dists * nbits <= 32:
-            bw.write_bool(True)
-            bw.write(nbits, 2)
-            for c in self.cluster_map:
-                bw.write(c, nbits)
-            return
-        # MTF + nested prefix stream
-        bw.write_bool(False)
-        bw.write_bool(True)  # use_mtf
-        nested = EntropyStream([0], 1, custom_configs=True, lz77_min_symbol=64)
-        nested.set_hybrid_config(0, 0, 4, 1, 0)
-        mtf = list(range(256))
-        for j in range(self.num_dists):
-            index = mtf.index(self.cluster_map[j])
-            nested.send_symbol(0, index)
-            if index:
-                mtf.insert(0, mtf.pop(index))
-        nested.prefix_finalize(bw)
+        write_cluster_map(bw, self.cluster_map, self.num_dists,
+                          self.num_clusters)
 
     def _stream_header_common(self, bw: BitWriter, log_alphabet_size: int) -> None:
         """entropy.c:546-575."""

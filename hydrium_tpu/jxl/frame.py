@@ -388,3 +388,121 @@ class HFStream:
             self._native.write_header(self.cluster_map, bw)
         else:
             self.stream.ans_write_header(bw)
+
+
+class StreamingHFStream:
+    """Memory-bounded HF stream for gigapixel one-frame encodes.
+
+    Instead of accumulating every group's symbols until finalize (the
+    HFStream above), each histogram preset is ANS-encoded as soon as its
+    last LF group arrives, and only the *encoded section bytes* are
+    retained (optionally spooled to disk).  To keep mid-stream encoding
+    consistent with the shared histogram header written at the end, the
+    ANS log_alphabet_size is fixed at 8 -- self-consistent by
+    construction, unlike the reference's evolving value (see encoder.py
+    docstring); identical compressed size, different bytes.
+
+    Requires the native serialization plane."""
+
+    FIXED_LAS = 8
+
+    def __init__(self, num_presets: int, lfgs_per_preset_count,
+                 spool_dir: Optional[str] = None) -> None:
+        """lfgs_per_preset_count: list of LFG counts per preset id."""
+        assert native.available(), "streaming mode needs the native plane"
+        self.num_presets = num_presets
+        self.use_native = True
+        self.cluster_map = tables.hf_cluster_map(num_presets)
+        self._num_clusters = int(self.cluster_map.max()) + 1
+        self._expected = list(lfgs_per_preset_count)
+        self._arrived = [0] * num_presets
+        self._per_preset: dict = {}
+        self._spool_dir = spool_dir
+        self._spool_files: List = []
+        # (ordered) per-group encoded sections: (bytes, tail_val, tail_bits)
+        # or (file_index, length) when spooled
+        self._sections: List = []
+        self._section_order: List[int] = []  # arrival index per section
+        self._freqs: List[Optional[np.ndarray]] = [None] * self._num_clusters
+        self._next_arrival = 0
+
+    def _preset_hf(self, preset: int) -> native.NativeHF:
+        hf = self._per_preset.get(preset)
+        if hf is None:
+            hf = native.NativeHF(self._num_clusters)
+            hf.force_las(self.FIXED_LAS)
+            self._per_preset[preset] = hf
+        return hf
+
+    def add_group_packed(self, tok_words, tok_bit_off, res_words,
+                         res_bit_off, valid_len, preset: int) -> None:
+        self._preset_hf(preset).add_group_packed(
+            tok_words, tok_bit_off, res_words, res_bit_off, valid_len,
+            self.cluster_map, preset)
+
+    def finish_lfg(self, preset: int) -> None:
+        """Signal that one LF group of `preset` has been fully added."""
+        self._arrived[preset] += 1
+        if self._arrived[preset] == self._expected[preset]:
+            self._flush_preset(preset)
+
+    def _flush_preset(self, preset: int) -> None:
+        hf = self._per_preset.pop(preset)
+        hf.prepare()
+        writers = hf.encode_all(cllog2(self.num_presets))
+        for w in writers:
+            raw = w.export_raw()
+            if self._spool_dir is not None:
+                import os as _os
+
+                path = _os.path.join(self._spool_dir,
+                                     f"sec{len(self._sections)}.bin")
+                with open(path, "wb") as f:
+                    f.write(raw[0])
+                self._sections.append((path, raw[1], raw[2]))
+            else:
+                self._sections.append(raw)
+        # clusters for this preset occupy a contiguous id range
+        per = self._num_clusters // self.num_presets
+        for c in range(per * preset, per * (preset + 1)):
+            self._freqs[c] = hf.frequencies(c)
+
+    def add_group_padded(self, tokens, clusters, residues, residue_bits,
+                         valid_len, preset: int) -> None:
+        self._preset_hf(preset).add_group(tokens, clusters, residues,
+                                          residue_bits, valid_len, preset)
+
+    def encode_group_sections(self) -> None:
+        assert not self._per_preset, "unflushed presets remain"
+
+    def iter_sections(self):
+        """Yield (bytes, tail_value, tail_bits) per group section, in
+        arrival order."""
+        for sec in self._sections:
+            if isinstance(sec[0], str):
+                with open(sec[0], "rb") as f:
+                    yield f.read(), sec[1], sec[2]
+            else:
+                yield sec
+
+    def write_hf_global(self, bw, num_frame_groups: int) -> None:
+        from .entropy import write_cluster_map, write_ans_frequencies
+        from .entropy import write_hybrid_uint_config
+
+        bw.write_bool(True)
+        bw.write(self.num_presets - 1, cllog2(num_frame_groups))
+        bw.write(2, 2)
+        # ANS stream header with the fixed las
+        bw.write_bool(False)  # lz77
+        write_cluster_map(bw, self.cluster_map, len(self.cluster_map),
+                          self._num_clusters)
+        bw.write_bool(False)  # use_prefix_codes
+        bw.write(self.FIXED_LAS - 5, 2)
+        for _ in range(self._num_clusters):
+            write_hybrid_uint_config(bw, (4, 1, 0), self.FIXED_LAS)
+        for c in range(self._num_clusters):
+            f = self._freqs[c]
+            if f is None or len(f) == 0:
+                write_ans_frequencies(bw, [], 0)
+            else:
+                write_ans_frequencies(bw, [int(v) for v in f], len(f))

@@ -89,6 +89,12 @@ def _load():
                                             ctypes.c_long, P]
         lib.hyd_hf_num_groups.restype = ctypes.c_long
         lib.hyd_hf_num_groups.argtypes = [P]
+        lib.hyd_hf_force_las.argtypes = [P, ctypes.c_int]
+        lib.hyd_hf_las.restype = ctypes.c_int
+        lib.hyd_hf_las.argtypes = [P]
+        lib.hyd_hf_frequencies.restype = ctypes.c_long
+        lib.hyd_hf_frequencies.argtypes = [P, ctypes.c_long, ctypes.c_void_p,
+                                           ctypes.c_long]
         _lib = lib
     except Exception as e:  # pragma: no cover
         _load_error = str(e)
@@ -193,6 +199,19 @@ class NativeBitWriter:
         assert got == n and tail_bits.value == 0
         return buf.raw
 
+    def export_raw(self):
+        """(whole_bytes, tail_value, tail_bits) without padding -- for
+        spooling unaligned sections to disk."""
+        n = len(self)
+        buf = ctypes.create_string_buffer(max(n, 1))
+        tail_val = ctypes.c_uint32(0)
+        tail_bits = ctypes.c_int(0)
+        got = self._lib.hyd_writer_copy(self._h, buf, n,
+                                        ctypes.byref(tail_val),
+                                        ctypes.byref(tail_bits))
+        assert got == n
+        return buf.raw[:n], tail_val.value, tail_bits.value
+
 
 class NativeStream:
     """Send-based entropy stream (prefix path) backed by C++."""
@@ -296,3 +315,18 @@ class NativeHF:
         cm = np.ascontiguousarray(cluster_map, np.uint8).tobytes()
         if self._lib.hyd_hf_write_header(self._h, cm, len(cm), bw._h) != 0:
             raise RuntimeError("native hf header failed")
+
+    def force_las(self, las: int) -> None:
+        self._lib.hyd_hf_force_las(self._h, las)
+
+    @property
+    def las(self) -> int:
+        return self._lib.hyd_hf_las(self._h)
+
+    def frequencies(self, cluster: int, cap: int = 512) -> np.ndarray:
+        out = np.zeros(cap, np.uint32)
+        n = self._lib.hyd_hf_frequencies(self._h, cluster, out.ctypes.data,
+                                         cap)
+        if n < 0:
+            raise RuntimeError("frequencies buffer too small")
+        return out[:n]

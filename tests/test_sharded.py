@@ -35,3 +35,22 @@ def test_sharded_matches_single_device():
 def test_dryrun_multichip_entry():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_retry_wrapper_recovers():
+    from hydrium_tpu.parallel.multihost import with_retry
+    calls = []
+
+    def flaky(x):
+        calls.append(x)
+        if len(calls) < 3:
+            raise RuntimeError("transient")
+        return x * 2
+
+    assert with_retry(flaky, attempts=3, backoff=0)(21) == 42
+    assert len(calls) == 3
+
+
+def test_gather_bytes_single_process():
+    from hydrium_tpu.parallel.multihost import gather_bytes_to_host0
+    assert gather_bytes_to_host0(b"abc") == [b"abc"]

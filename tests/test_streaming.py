@@ -1,0 +1,50 @@
+"""Memory-bounded streaming one-frame mode: per-preset eager ANS with
+fixed log_alphabet_size; output must decode identically to the regular
+path (bytes differ only in ANS bucket layout, sizes ~equal)."""
+
+import numpy as np
+import pytest
+
+from hydrium_tpu.config import ImageMetadata, SampleFormat
+from hydrium_tpu.encoder import Encoder
+from hydrium_tpu.utils import djxl
+
+
+def make_image(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = 120 + 70 * np.sin(xx / 23.0)[..., None] * np.cos(
+        np.stack([yy / 17.0, yy / 11.0, yy / 31.0], axis=-1))
+    img += rng.normal(0, 8, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def encode(img, streaming, spool_dir=None, backend="jax"):
+    h, w = img.shape[:2]
+    meta = ImageMetadata(width=w, height=h)
+    enc = Encoder(meta, backend=backend, streaming=streaming,
+                  spool_dir=spool_dir)
+    for ty in range((h + 2047) // 2048):
+        for tx in range((w + 2047) // 2048):
+            enc.send_tile(img[ty * 2048:(ty + 1) * 2048,
+                              tx * 2048:(tx + 1) * 2048], tx, ty,
+                          sample_fmt=SampleFormat.UINT8)
+    return enc.take_output()
+
+
+def test_streaming_decodes_like_regular(tmp_path):
+    img = make_image(2200, 4100, seed=7)  # 2x3 LF groups
+    regular = encode(img, streaming=False)
+    streamed = encode(img, streaming=True, spool_dir=str(tmp_path))
+    d1 = djxl.decode(regular)
+    d2 = djxl.decode(streamed)
+    assert np.array_equal(d1, d2), "streaming mode changed decoded pixels"
+    # size within a few bytes (same freqs, different alias layout)
+    assert abs(len(streamed) - len(regular)) < 0.01 * len(regular) + 64
+
+
+def test_streaming_no_spool():
+    img = make_image(300, 2500, seed=8)  # 1x2 LF groups
+    streamed = encode(img, streaming=True)
+    regular = encode(img, streaming=False)
+    assert np.array_equal(djxl.decode(streamed), djxl.decode(regular))
