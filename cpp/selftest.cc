@@ -1,0 +1,179 @@
+// Standalone self-test of the native serialization plane, built under
+// ASAN/UBSAN by `make asan` (SURVEY.md §5: sanitizer coverage for the
+// host-native code).  Exercises every hot path with randomized streams:
+// LZ77 tokenization, prefix encode (simple + complex codes, nested
+// cluster maps), the packed-stream context walker, ANS table build and
+// backwards emission (single- and multi-threaded).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+struct HydWriter;
+struct HydStream;
+struct HydHF;
+HydWriter* hyd_writer_new();
+void hyd_writer_free(HydWriter*);
+long hyd_writer_bit_size(HydWriter*);
+void hyd_writer_write(HydWriter*, uint64_t, int);
+long hyd_writer_copy(HydWriter*, uint8_t*, long, uint32_t*, int*);
+HydStream* hyd_stream_new(const uint8_t*, long, uint32_t, int, int, int, int,
+                          int);
+void hyd_stream_free(HydStream*);
+void hyd_stream_send_mono(HydStream*, uint32_t, const uint32_t*, long);
+int hyd_stream_prefix_finalize(HydStream*, HydWriter*);
+HydHF* hyd_hf_new(long);
+void hyd_hf_free(HydHF*);
+void hyd_hf_add_group(HydHF*, const uint16_t*, const uint8_t*,
+                      const uint32_t*, const uint8_t*, const int32_t*, long,
+                      uint32_t);
+void hyd_hf_add_group_packed(HydHF*, const uint32_t*, long, const uint32_t*,
+                             long, const uint8_t*, const uint8_t*, uint32_t);
+int hyd_hf_prepare(HydHF*);
+int hyd_hf_encode_all(HydHF*, int, HydWriter**, int);
+int hyd_hf_write_header(HydHF*, const uint8_t*, long, HydWriter*);
+void hyd_hf_force_las(HydHF*, int);
+}
+
+static uint64_t rng_state = 0x9E3779B97F4A7C15ull;
+static uint32_t rnd() {
+  rng_state ^= rng_state << 13;
+  rng_state ^= rng_state >> 7;
+  rng_state ^= rng_state << 17;
+  return (uint32_t)(rng_state >> 32);
+}
+
+static void test_prefix_streams() {
+  for (int iter = 0; iter < 20; iter++) {
+    uint8_t cm[1] = {0};
+    HydStream* s = hyd_stream_new(cm, 1, (iter & 1) ? (1u << 14) : 0,
+                                  iter & 1, 1, 7, 1, 1);
+    std::vector<uint32_t> syms(1 + rnd() % 5000);
+    for (auto& v : syms) {
+      v = rnd() % ((iter % 3 == 0) ? 4u : 100000u);
+      if (rnd() % 3 == 0 && &v != syms.data()) v = (&v)[-1];  // runs
+    }
+    hyd_stream_send_mono(s, 0, syms.data(), syms.size());
+    HydWriter* w = hyd_writer_new();
+    if (hyd_stream_prefix_finalize(s, w) != 0) {
+      fprintf(stderr, "prefix finalize failed\n");
+      exit(1);
+    }
+    hyd_writer_free(w);
+    hyd_stream_free(s);
+  }
+  printf("prefix streams ok\n");
+}
+
+// build cluster map like tables.hf_cluster_map(1)
+static std::vector<uint8_t> hf_map() {
+  std::vector<uint8_t> cm(1485);
+  for (int j = 0; j < 1485; j++)
+    cm[j] = j < 111 ? j % 3 : 3 + (j - 111) % 6;
+  return cm;
+}
+
+static void test_hf_padded_and_packed() {
+  auto cm = hf_map();
+  const int blocks = 1024;
+  std::vector<uint16_t> tokens(blocks * 3 * 64);
+  std::vector<uint8_t> clusters(blocks * 3 * 64);
+  std::vector<uint32_t> residues(blocks * 3 * 64);
+  std::vector<uint8_t> rbits(blocks * 3 * 64);
+  std::vector<int32_t> valid(blocks * 3);
+  for (int b = 0; b < blocks * 3; b++) {
+    valid[b] = rnd() % 65;
+    for (int k = 0; k < 64; k++) {
+      int i = b * 64 + k;
+      tokens[i] = rnd() % 40;
+      clusters[i] = cm[rnd() % 1485];
+      rbits[i] = tokens[i] >= 16 ? ((tokens[i] - 16) >> 1) + 3 : 0;
+      residues[i] = rbits[i] ? (rnd() & ((1u << rbits[i]) - 1)) : 0;
+    }
+  }
+  HydHF* h = hyd_hf_new(9);
+  for (int g = 0; g < 8; g++)
+    hyd_hf_add_group(h, tokens.data(), clusters.data(), residues.data(),
+                     rbits.data(), valid.data(), blocks, 0);
+  if (hyd_hf_prepare(h) != 0) {
+    fprintf(stderr, "prepare failed\n");
+    exit(1);
+  }
+  std::vector<HydWriter*> ws(8);
+  for (auto& w : ws) w = hyd_writer_new();
+  if (hyd_hf_encode_all(h, 0, ws.data(), 4) != 0) {
+    fprintf(stderr, "encode_all failed\n");
+    exit(1);
+  }
+  HydWriter* hw = hyd_writer_new();
+  if (hyd_hf_write_header(h, cm.data(), cm.size(), hw) != 0) {
+    fprintf(stderr, "header failed\n");
+    exit(1);
+  }
+  hyd_writer_free(hw);
+  for (auto* w : ws) hyd_writer_free(w);
+  hyd_hf_free(h);
+  printf("hf padded ok\n");
+
+  // packed walker: synthesize a 6-bit token stream + residue bits
+  std::vector<uint32_t> tw, rw;
+  uint64_t tcache = 0, rcache = 0;
+  int tbits = 0, rbitsn = 0;
+  std::vector<uint8_t> vlen(blocks * 3);
+  auto put = [](std::vector<uint32_t>& out, uint64_t& cache, int& nbits,
+                uint32_t v, int n) {
+    cache |= (uint64_t)v << nbits;
+    nbits += n;
+    while (nbits >= 32) {
+      out.push_back((uint32_t)cache);
+      cache >>= 32;
+      nbits -= 32;
+    }
+  };
+  for (int b = 0; b < blocks * 3; b++) {
+    int nz = rnd() % 20;
+    // count symbol
+    vlen[b] = 1;
+    uint32_t count = nz;
+    uint32_t ctok = count < 16 ? count : 16 + ((31 - __builtin_clz(count)) - 1 - 3) * 2 + ((count >> ((31 - __builtin_clz(count)) - 1)) & 1);
+    int crb = ctok < 16 ? 0 : (int)((ctok - 16) >> 1) + 3;
+    put(tw, tcache, tbits, ctok, 6);
+    if (crb) put(rw, rcache, rbitsn, count & ((1u << crb) - 1), crb);
+    // coefficients: emit nz nonzero tokens then stop
+    for (int k = 0; k < nz; k++) {
+      uint32_t tok = 2 + rnd() % 10;
+      put(tw, tcache, tbits, tok, 6);
+      vlen[b]++;
+    }
+  }
+  put(tw, tcache, tbits, 0, 31);  // flush
+  put(rw, rcache, rbitsn, 0, 31);
+  tw.push_back(0); rw.push_back(0);
+  HydHF* h2 = hyd_hf_new(9);
+  hyd_hf_force_las(h2, 8);
+  hyd_hf_add_group_packed(h2, tw.data(), 0, rw.data(), 0, vlen.data(),
+                          cm.data(), 0);
+  if (hyd_hf_prepare(h2) != 0) {
+    fprintf(stderr, "packed prepare failed\n");
+    exit(1);
+  }
+  HydWriter* w2 = hyd_writer_new();
+  HydWriter* warr[1] = {w2};
+  if (hyd_hf_encode_all(h2, 0, warr, 2) != 0) {
+    fprintf(stderr, "packed encode failed\n");
+    exit(1);
+  }
+  hyd_writer_free(w2);
+  hyd_hf_free(h2);
+  printf("hf packed ok\n");
+}
+
+int main() {
+  test_prefix_streams();
+  test_hf_padded_and_packed();
+  printf("selftest passed\n");
+  return 0;
+}

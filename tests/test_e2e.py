@@ -121,3 +121,31 @@ def test_jax_packed_equals_reference_modes():
     p = djxl.psnr(img / 255.0, dec)
     p_ref = djxl.psnr(img / 255.0, djxl.decode(ref))
     assert p >= p_ref - 0.05, (p, p_ref)
+
+
+def test_jax_backend_deterministic():
+    """Byte-identical re-encode (SURVEY section 5 determinism check)."""
+    img = make_image(300, 520, "noise", seed=12)
+    a = encode_image(img, tile_size_shift=-1, backend="jax")
+    b = encode_image(img, tile_size_shift=-1, backend="jax")
+    assert a == b
+
+
+def test_u16_jax_backend():
+    img8 = make_image(260, 300, "smooth", seed=13)
+    img16 = ((img8.astype(np.uint16) << 8) | img8)
+    mine = encode_image(img16, tile_size_shift=-1, backend="jax")
+    dec = djxl.decode(mine)
+    ref = ref_hydrium.encode(img16, tile_size_shift=-1,
+                             sample_fmt=ref_hydrium.HYD_UINT16)
+    p = djxl.psnr(img8 / 255.0, dec)
+    p_ref = djxl.psnr(img8 / 255.0, djxl.decode(ref))
+    assert p >= p_ref - 0.05, (p, p_ref)
+
+
+def test_float32_jax_backend():
+    img8 = make_image(128, 128, "smooth", seed=14)
+    imgf = (img8 / 255.0).astype(np.float32)
+    mine = encode_image(imgf, tile_size_shift=-1, backend="jax")
+    dec = djxl.decode(mine)
+    assert djxl.psnr(img8 / 255.0, dec) > 30
