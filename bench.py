@@ -11,6 +11,7 @@ to cope, but e2e throughput here is interconnect-bound, not TPU-bound
 (the device pipeline runs a 2048^2 LF group in ~4 ms; see README)."""
 
 import json
+import os
 import sys
 import time
 
@@ -28,6 +29,43 @@ def make_4k_noisy(seed=0):
     base = 128 + 80 * np.sin(xx / 97.0 + phase) * np.cos(yy / 53.0 - phase)
     noise = rng.normal(0, 24, (h, w, 3)).astype(np.float32)
     return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def parent(iters: int) -> int:
+    """The axon tunnel wedges ~half of long-lived TPU client processes on
+    a dropped RPC (see README perf notes); run the measurement in child
+    processes with a timeout and keep the best completed attempt."""
+    import subprocess
+
+    best = None
+    for attempt in range(4):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), str(iters),
+                 "--child"],
+                capture_output=True, text=True, timeout=600)
+        except subprocess.TimeoutExpired:
+            print(f"bench: attempt {attempt} timed out (tunnel wedge), "
+                  f"retrying", file=sys.stderr, flush=True)
+            continue
+        sys.stderr.write(r.stderr)
+        line = next((l for l in r.stdout.splitlines()
+                     if l.startswith("{")), None)
+        if r.returncode == 0 and line:
+            cand = json.loads(line)
+            if best is None or cand["value"] > best["value"]:
+                best = cand
+            break
+        print(f"bench: attempt {attempt} failed rc={r.returncode}",
+              file=sys.stderr, flush=True)
+    if best is None:
+        print(json.dumps({
+            "metric": "4K RGB8 one-frame encode throughput",
+            "value": 0.0, "unit": "Mpixels/s", "vs_baseline": 0.0,
+            "error": "all attempts wedged on the remote-TPU tunnel"}))
+        return 1
+    print(json.dumps(best))
+    return 0
 
 
 def main():
@@ -79,4 +117,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        main()
+    else:
+        sys.exit(parent(int(sys.argv[1]) if len(sys.argv) > 1
+                        and sys.argv[1].isdigit() else 2))

@@ -896,6 +896,127 @@ struct BitReader {
   }
 };
 
+// Walk one group's packed streams into a caller-provided Sym range;
+// returns symbols written and folds alphabet maxima into the outputs.
+static size_t walk_group_packed(const uint32_t* token_words, long tok_bit_off,
+                         const uint32_t* residue_words, long res_bit_off,
+                         const uint8_t* valid_len, const uint8_t* cmap,
+                         Sym* out, uint32_t* alphabet_sizes,
+                         uint32_t* max_alphabet) {
+  BitReader tr{token_words, (size_t)tok_bit_off};
+  BitReader rr{residue_words, (size_t)res_bit_off};
+  Sym* dst = out;
+  uint8_t counts[32][32][3];
+  for (int by = 0; by < 32; by++) {
+    for (int bx = 0; bx < 32; bx++) {
+      for (int c = 0; c < 3; c++) {
+        int vl = valid_len[(by * 32 + bx) * 3 + c];
+        if (!vl) continue;
+        uint32_t tok = tr.read(6);
+        int rb = tok < 16 ? 0 : (int)((tok - 16) >> 1) + 3;
+        uint32_t res = rr.read(rb);
+        uint32_t count =
+            tok < 16 ? tok : ((2u | ((tok - 16) & 1)) << rb) | res;
+        counts[by][bx][c] = (uint8_t)count;
+        uint32_t predicted;
+        if (!bx && !by)
+          predicted = 32;
+        else if (!bx)
+          predicted = counts[by - 1][0][c];
+        else if (!by)
+          predicted = counts[0][bx - 1][c];
+        else
+          predicted = (counts[by - 1][bx][c] + (uint32_t)counts[by][bx - 1][c]
+                       + 1) >> 1;
+        uint32_t nzctx = predicted < 8
+                             ? predicted
+                             : 4 + (std::min<uint32_t>(predicted, 64) >> 1);
+        Sym s;
+        s.token = tok;
+        s.residue = res;
+        s.residue_bits = rb;
+        s.cluster = cmap[3 * nzctx + c];
+        *dst++ = s;
+        uint32_t a = tok + 1;
+        *max_alphabet = std::max(*max_alphabet, a);
+        alphabet_sizes[s.cluster] = std::max(alphabet_sizes[s.cluster], a);
+
+        uint32_t remaining = count;
+        int prev = count <= 4;
+        int hist = 458 * c + 111;
+        for (int k = 1; k < vl; k++) {
+          tok = tr.read(6);
+          rb = tok < 16 ? 0 : (int)((tok - 16) >> 1) + 3;
+          res = rr.read(rb);
+          int ctx = hist + prev +
+                    ((kCoeffNumNzCtx[remaining > 63 ? 63 : remaining]
+                      + kCoeffFreqCtx[k]) << 1);
+          Sym s2;
+          s2.token = tok;
+          s2.residue = res;
+          s2.residue_bits = rb;
+          s2.cluster = cmap[ctx];
+          *dst++ = s2;
+          a = tok + 1;
+          *max_alphabet = std::max(*max_alphabet, a);
+          alphabet_sizes[s2.cluster] = std::max(alphabet_sizes[s2.cluster], a);
+          if (tok) {
+            prev = 1;
+            remaining--;
+          } else {
+            prev = 0;
+          }
+        }
+      }
+    }
+  }
+  return dst - out;
+}
+
+// Walk a whole LF group's worth of groups in parallel: per-group bit
+// offsets and symbol counts come from the device (aux payload), so each
+// thread writes a disjoint range of the shared symbol array.
+void hyd_hf_add_lfg_packed(HydHF* h, const uint32_t* token_words,
+                           const uint32_t* residue_words,
+                           const uint8_t* valid_len,  // [n_groups*3072]
+                           const uint8_t* cluster_map, uint32_t preset,
+                           long n_groups, const int64_t* tok_bit_offs,
+                           const int64_t* res_bit_offs,
+                           const int64_t* sym_counts, int n_threads) {
+  const uint8_t* cmap = cluster_map + (size_t)1485 * preset;
+  std::vector<size_t> offsets(n_groups + 1, 0);
+  for (long g = 0; g < n_groups; g++)
+    offsets[g + 1] = offsets[g] + (size_t)sym_counts[g];
+  size_t base = h->syms.size();
+  h->syms.resize(base + offsets[n_groups]);
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::vector<uint32_t>> alpha(
+      n_threads, std::vector<uint32_t>(h->num_clusters, 0));
+  std::vector<uint32_t> maxa(n_threads, 0);
+  auto worker = [&](int t) {
+    for (long g = t; g < n_groups; g += n_threads) {
+      size_t wrote = walk_group_packed(
+          token_words, tok_bit_offs[g], residue_words, res_bit_offs[g],
+          valid_len + (size_t)g * 3072, cmap, h->syms.data() + base + offsets[g],
+          alpha[t].data(), &maxa[t]);
+      (void)wrote;
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < n_threads; t++) threads.emplace_back(worker, t);
+  worker(0);
+  for (auto& th : threads) th.join();
+  for (int t = 0; t < n_threads; t++) {
+    h->max_alphabet_size = std::max(h->max_alphabet_size, maxa[t]);
+    for (size_t c = 0; c < h->num_clusters; c++)
+      h->alphabet_sizes[c] = std::max(h->alphabet_sizes[c], alpha[t][c]);
+  }
+  for (long g = 0; g < n_groups; g++) {
+    h->barriers.push_back((size_t)sym_counts[g]);
+    h->presets.push_back(preset);
+  }
+}
+
 // Reconstruct one group's HF symbol stream from the device's packed
 // 6-bit tokens + residue bitstream, recomputing contexts exactly as
 // encoder.c:689-750 does, and append to the HF batch.  `valid_len` is

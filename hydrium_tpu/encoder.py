@@ -87,7 +87,8 @@ class _JaxDispatch:
     """An in-flight LF group on the device (packed-payload path)."""
 
     __slots__ = ("out", "lfg", "preset", "buf_h", "buf_w", "kwargs",
-                 "presets_dev", "cm_dev", "px")
+                 "presets_dev", "cm_dev", "px", "_aux", "_words",
+                 "_pf_thread")
 
     def __init__(self, pixels, sample_fmt, linear_light, lfg, preset, hf):
         import jax.numpy as jnp
@@ -120,6 +121,24 @@ class _JaxDispatch:
                                          self.cm_dev, **self.kwargs)
         else:
             self.out = None
+        self._aux = None
+        self._words = None
+        self._pf_thread = None
+
+    def prefetch(self) -> None:
+        """Pull aux + streams to the host (run on a worker thread so the
+        next LF group's transfers overlap the current one's walk)."""
+        try:
+            aux = np.asarray(self.out["aux"])
+            self._aux = aux
+            if bool(aux[0]):
+                tok_used = (int(aux[1]) + 31) >> 5
+                res_used = (int(aux[2]) + 31) >> 5
+                self._words = _fetch_prefix(self.out["streams"],
+                                            tok_used + res_used)
+        except Exception:
+            self._aux = None
+            self._words = None
 
     def drain(self, hf, stats=None):
         """Fetch, walk, and feed the HF stream; returns (lf_q, lf_res)."""
@@ -135,7 +154,8 @@ class _JaxDispatch:
 
         if self.out is not None:
             with stage("fetch_aux"):
-                aux = np.asarray(self.out["aux"])
+                aux = self._aux if self._aux is not None else np.asarray(
+                    self.out["aux"])
             ok = bool(aux[0])
             if ok:
                 tok_total, res_total = int(aux[1]), int(aux[2])
@@ -143,25 +163,35 @@ class _JaxDispatch:
                 gr = aux[3 + G:3 + 2 * G].astype(np.int64)
                 nv = (N + 3) // 4
                 valid = aux[3 + 2 * G:3 + 2 * G + nv].view(np.uint8)[:N]
-                lf_q = aux[3 + 2 * G + nv:].reshape(vbh, vbw, 3)[:vh, :vw]
+                lf_n = vbh * vbw * 3
+                lf_q = np.ascontiguousarray(
+                    aux[3 + 2 * G + nv:]).view(np.int16)[:lf_n].astype(
+                    np.int32).reshape(vbh, vbw, 3)[:vh, :vw]
                 tok_used = (tok_total + 31) >> 5
                 res_used = (res_total + 31) >> 5
                 with stage("fetch_streams"):
-                    words = _fetch_prefix(self.out["streams"],
-                                          tok_used + res_used)
+                    words = (self._words if self._words is not None
+                             else _fetch_prefix(self.out["streams"],
+                                                tok_used + res_used))
                 tok_words = words[:tok_used + 1]
                 res_words = np.ascontiguousarray(words[tok_used:])
                 tok_off = 6 * (np.cumsum(gs) - gs)
                 res_off = np.cumsum(gr) - gr
+                full_grid = (lfg.group_count_y == (self.buf_h >> 8)
+                             and lfg.group_count_x == bgcx)
                 with stage("walk"):
-                    for gy in range(lfg.group_count_y):
-                        for gx in range(lfg.group_count_x):
-                            gi = gy * bgcx + gx
-                            hf.add_group_packed(
-                                tok_words, int(tok_off[gi]), res_words,
-                                int(res_off[gi]),
-                                valid[gi * 3072:(gi + 1) * 3072],
-                                self.preset)
+                    if full_grid and hasattr(hf, "add_lfg_packed"):
+                        hf.add_lfg_packed(tok_words, res_words, valid,
+                                          self.preset, tok_off, res_off, gs)
+                    else:
+                        for gy in range(lfg.group_count_y):
+                            for gx in range(lfg.group_count_x):
+                                gi = gy * bgcx + gx
+                                hf.add_group_packed(
+                                    tok_words, int(tok_off[gi]), res_words,
+                                    int(res_off[gi]),
+                                    valid[gi * 3072:(gi + 1) * 3072],
+                                    self.preset)
                 return lf_q, None
             # fall through to the unpacked path on overflow
 
@@ -441,7 +471,18 @@ class Encoder:
                     self._hf.finish_lfg(preset)
 
     def _drain_one(self) -> None:
+        import threading
+
         handle = self._pending.pop(0)
+        if handle._pf_thread is not None:
+            with self.stats.stage("fetch_aux"):
+                handle._pf_thread.join()
+        if self._pending and self._pending[0].out is not None \
+                and self._pending[0]._pf_thread is None:
+            nxt = self._pending[0]
+            t = threading.Thread(target=nxt.prefetch, daemon=True)
+            nxt._pf_thread = t
+            t.start()
         with self.stats.stage("pipeline+transfer"):
             lf_q, lf_res = handle.drain(self._hf, self.stats)
         self._write_lf(lf_q, lf_res)

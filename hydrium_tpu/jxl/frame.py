@@ -355,6 +355,14 @@ class HFStream:
                                       res_bit_off, valid_len,
                                       self.cluster_map, preset)
 
+    def add_lfg_packed(self, tok_words, res_words, valid_len, preset,
+                       tok_bit_offs, res_bit_offs, sym_counts) -> None:
+        """Bulk packed walk of a whole LF group (threaded in C++)."""
+        assert self.use_native
+        self._native.add_lfg_packed(tok_words, res_words, valid_len,
+                                    self.cluster_map, preset, tok_bit_offs,
+                                    res_bit_offs, sym_counts)
+
     def encode_group_sections(self) -> None:
         """Encode every pending group's ANS section (encoder.c:931-952).
 
@@ -439,6 +447,12 @@ class StreamingHFStream:
         self._preset_hf(preset).add_group_packed(
             tok_words, tok_bit_off, res_words, res_bit_off, valid_len,
             self.cluster_map, preset)
+
+    def add_lfg_packed(self, tok_words, res_words, valid_len, preset,
+                       tok_bit_offs, res_bit_offs, sym_counts) -> None:
+        self._preset_hf(preset).add_lfg_packed(
+            tok_words, res_words, valid_len, self.cluster_map, preset,
+            tok_bit_offs, res_bit_offs, sym_counts)
 
     def finish_lfg(self, preset: int) -> None:
         """Signal that one LF group of `preset` has been fully added."""

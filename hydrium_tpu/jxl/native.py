@@ -78,6 +78,10 @@ def _load():
         lib.hyd_hf_add_group_packed.argtypes = [
             P, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
             ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32]
+        lib.hyd_hf_add_lfg_packed.argtypes = [
+            P, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
         lib.hyd_hf_prepare.restype = ctypes.c_int
         lib.hyd_hf_prepare.argtypes = [P]
         lib.hyd_hf_encode_all.restype = ctypes.c_int
@@ -293,6 +297,28 @@ class NativeHF:
         self._lib.hyd_hf_add_group_packed(
             self._h, t.ctypes.data, tok_bit_off, r.ctypes.data, res_bit_off,
             v.ctypes.data, cm.ctypes.data, preset)
+
+    def add_lfg_packed(self, tok_words: np.ndarray, res_words: np.ndarray,
+                       valid_len: np.ndarray, cluster_map: np.ndarray,
+                       preset: int, tok_bit_offs: np.ndarray,
+                       res_bit_offs: np.ndarray, sym_counts: np.ndarray,
+                       n_threads: int = 0) -> None:
+        """Walk every group of one LF group in parallel (threads write
+        disjoint symbol ranges; counts come from the device aux)."""
+        t = np.ascontiguousarray(tok_words, np.uint32)
+        r = np.ascontiguousarray(res_words, np.uint32)
+        v = np.ascontiguousarray(valid_len, np.uint8)
+        cm = np.ascontiguousarray(cluster_map, np.uint8)
+        to = np.ascontiguousarray(tok_bit_offs, np.int64)
+        ro = np.ascontiguousarray(res_bit_offs, np.int64)
+        sc = np.ascontiguousarray(sym_counts, np.int64)
+        n_groups = len(sc)
+        if n_threads <= 0:
+            n_threads = min(os.cpu_count() or 1, 8)
+        self._lib.hyd_hf_add_lfg_packed(
+            self._h, t.ctypes.data, r.ctypes.data, v.ctypes.data,
+            cm.ctypes.data, preset, n_groups, to.ctypes.data, ro.ctypes.data,
+            sc.ctypes.data, n_threads)
 
     def prepare(self) -> None:
         if self._lib.hyd_hf_prepare(self._h) != 0:

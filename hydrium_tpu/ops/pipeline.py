@@ -404,10 +404,18 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
     pad = (-valid_u8.size) % 4
     valid_i32 = jax.lax.bitcast_convert_type(
         jnp.pad(valid_u8, (0, pad)).reshape(-1, 4), jnp.int32).reshape(-1)
+    # LF values fit i16 for in-gamut inputs (|dc*shift| < 8k); pack two
+    # per word, with the ok flag guarding the rare overflow
+    lf_flat = out["lf_q"].reshape(-1)
+    lf_ok = jnp.all((lf_flat >= -32768) & (lf_flat <= 32767))
+    tok_ok = tok_ok & lf_ok
+    lf_pad = (-lf_flat.size) % 2
+    lf_i16 = jnp.pad(lf_flat, (0, lf_pad)).astype(jnp.int16)
+    lf_packed = jax.lax.bitcast_convert_type(
+        lf_i16.reshape(-1, 2), jnp.int32).reshape(-1)
     aux = jnp.concatenate([
         jnp.stack([tok_ok.astype(jnp.int32), tok_total, res_total]),
-        per_group_syms, per_group_rbits, valid_i32,
-        out["lf_q"].reshape(-1),
+        per_group_syms, per_group_rbits, valid_i32, lf_packed,
     ])
     tok_used = (tok_total + 31) >> 5
     streams = jnp.zeros((tok_cap_words + res_cap_words,), jnp.uint32)

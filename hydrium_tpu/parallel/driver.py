@@ -115,7 +115,9 @@ def encode_image_sharded(image: np.ndarray, mesh=None,
             valid = np.ascontiguousarray(
                 aux[3 + 2 * G:3 + 2 * G + nv]).view(np.uint8)[:N]
             vh, vw = (g.height + 7) >> 3, (g.width + 7) >> 3
-            lf_q = aux[3 + 2 * G + nv:].reshape(256, 256, 3)[:vh, :vw]
+            lf_q = np.ascontiguousarray(
+                aux[3 + 2 * G + nv:]).view(np.int16)[:256 * 256 * 3].astype(
+                np.int32).reshape(256, 256, 3)[:vh, :vw]
             tok_used = (tok_total + 31) >> 5
             words = out["streams"][j]
             tok_words = words[:tok_used + 1]
