@@ -19,11 +19,11 @@ def _read_input(path: str, is_pfm: bool):
     if is_pfm:
         from .utils.pfm import read_pfm
 
-        img = read_pfm(path)
+        img = read_pfm(sys.stdin.buffer if path == "-" else path)
         return img, "float32"
     from PIL import Image
 
-    im = Image.open(path)
+    im = Image.open(sys.stdin.buffer if path == "-" else path)
     if im.mode in ("I;16", "I;16B", "I"):
         arr = np.asarray(im, dtype=np.uint16)
         fmt = "uint16"
