@@ -103,3 +103,27 @@ def test_asymmetric_tile_shifts():
                           tx, ty)
     dec = djxl.decode(enc.take_output())
     assert dec.shape == img.shape
+
+
+def test_level10_container_decodes():
+    """Level-10 ISOBMFF prefix (encoder.c:23-30, libhydrium.c:67)."""
+    from hydrium_tpu.jxl import headers
+    from hydrium_tpu.jxl.bitwriter import BitWriter
+
+    bw = BitWriter()
+    headers.write_image_header(bw, 32, 32, level10=True)
+    data = bw.finalize()
+    assert data[:12] == bytes([0, 0, 0, 0x0C]) + b"JXL \r\n\x87\n"
+    assert b"jxll" in data and b"jxlc" in data
+
+
+def test_wide_lfg_parity():
+    """Full-width 2048 LF group geometry (stride, group grid) parity."""
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:300, 0:2300]
+    img = np.clip(128 + 80 * np.sin(xx / 37.0)[..., None]
+                  * np.cos(np.stack([yy / 23.0] * 3, -1))
+                  + rng.normal(0, 6, (300, 2300, 3)), 0, 255).astype(np.uint8)
+    ref = ref_hydrium.encode(img, tile_size_shift=-1)
+    mine = encode_image(img, tile_size_shift=-1)
+    assert mine == ref
