@@ -67,6 +67,27 @@ def _prefix_slicer_cache():
 _SLICERS: dict = {}
 
 
+def tables_hf_cluster_map_1():
+    from .ops import tables
+
+    return tables.hf_cluster_map(1)
+
+
+def _fetch_prefix_2d(arr, nwords: int) -> np.ndarray:
+    """Fetch arr[:, :nwords(+1)] with power-of-two column buckets."""
+    import jax
+
+    n = min(nwords + 1, arr.shape[1])
+    b = 1 << (max(n - 1, 1)).bit_length()
+    b = min(b, arr.shape[1])
+    key = ("2d", int(arr.shape[0]), int(arr.shape[1]), b, str(arr.dtype))
+    f = _SLICERS.get(key)
+    if f is None:
+        f = jax.jit(lambda a, _b=b: a[:, :_b])
+        _SLICERS[key] = f
+    return np.asarray(f(arr))[:, :n]
+
+
 def _fetch_prefix(arr, nwords: int) -> np.ndarray:
     """Fetch arr[:nwords] (+1 safety word) with power-of-two bucketed
     static slices so each buffer size compiles a handful of slicers."""
@@ -81,6 +102,57 @@ def _fetch_prefix(arr, nwords: int) -> np.ndarray:
         f = jax.jit(lambda a, _b=b: a[:_b])
         _SLICERS[key] = f
     return np.asarray(f(arr))[:n]
+
+
+def _parse_packed(aux: np.ndarray, words, buf_h: int, buf_w: int, lfg):
+    """Decode one packed aux payload (+ fetched stream words) into the
+    pieces the serializer needs; None when the ok flag is unset."""
+    if not bool(aux[0]):
+        return None
+    G = (buf_h >> 8) * (buf_w >> 8)
+    N = G * 3072
+    vbh, vbw = buf_h >> 3, buf_w >> 3
+    vh, vw = (lfg.height + 7) >> 3, (lfg.width + 7) >> 3
+    tok_total, res_total = int(aux[1]), int(aux[2])
+    gs = aux[3:3 + G].astype(np.int64)
+    gr = aux[3 + G:3 + 2 * G].astype(np.int64)
+    nv = (N + 3) // 4
+    valid = aux[3 + 2 * G:3 + 2 * G + nv].view(np.uint8)[:N]
+    lf_n = vbh * vbw * 3
+    lf_q = np.ascontiguousarray(
+        aux[3 + 2 * G + nv:]).view(np.int16)[:lf_n].astype(
+        np.int32).reshape(vbh, vbw, 3)[:vh, :vw]
+    tok_used = (tok_total + 31) >> 5
+    res_used = (res_total + 31) >> 5
+    return {
+        "lf_q": lf_q, "valid": valid, "gs": gs, "gr": gr,
+        "tok_off": 6 * (np.cumsum(gs) - gs), "res_off": np.cumsum(gr) - gr,
+        "tok_used": tok_used, "res_used": res_used,
+        "tok_words": words[:tok_used + 1] if words is not None else None,
+        "res_words": (np.ascontiguousarray(words[tok_used:])
+                      if words is not None else None),
+    }
+
+
+def _feed_hf_packed(hf, parsed, lfg, buf_w: int, buf_h: int,
+                    preset: int) -> None:
+    """Feed a parsed packed payload into an HF stream (bulk-threaded
+    walk when the tile covers its full buffer group grid)."""
+    bgcx = buf_w >> 8
+    full_grid = (lfg.group_count_y == (buf_h >> 8)
+                 and lfg.group_count_x == bgcx)
+    if full_grid and hasattr(hf, "add_lfg_packed"):
+        hf.add_lfg_packed(parsed["tok_words"], parsed["res_words"],
+                          parsed["valid"], preset, parsed["tok_off"],
+                          parsed["res_off"], parsed["gs"])
+        return
+    for gy in range(lfg.group_count_y):
+        for gx in range(lfg.group_count_x):
+            gi = gy * bgcx + gx
+            hf.add_group_packed(
+                parsed["tok_words"], int(parsed["tok_off"][gi]),
+                parsed["res_words"], int(parsed["res_off"][gi]),
+                parsed["valid"][gi * 3072:(gi + 1) * 3072], preset)
 
 
 class _JaxDispatch:
@@ -400,6 +472,97 @@ class Encoder:
         if last:
             self._finished = True
 
+    def send_tile_batch(self, entries,
+                        sample_fmt: SampleFormat = SampleFormat.UINT8) -> None:
+        """Encode several tiled-mode tiles with ONE device dispatch and
+        two host fetches for the whole batch (a TPU-era extension: the
+        reference is strictly one tile at a time).
+
+        entries: list of (pixels, tile_x, tile_y); is_last is derived
+        from coordinates.  Jax backend + native plane only; falls back
+        to per-tile sends otherwise."""
+        m = self.metadata
+        fmt = sample_fmt.value
+        from .jxl import native as _native
+
+        if (m.one_frame or self.backend != "jax"
+                or not _native.available()):
+            for pixels, tx, ty in entries:
+                self.send_tile(pixels, tx, ty, sample_fmt=sample_fmt)
+            return
+
+        import jax.numpy as jnp
+        from .ops.pipeline import encode_tiles_packed
+
+        tw, th = m.tile_width, m.tile_height
+        K = len(entries)
+        px = np.zeros((K, th, tw, 3), dtype=np.asarray(entries[0][0]).dtype)
+        lfgs = []
+        for k, (pixels, tx, ty) in enumerate(entries):
+            lfg = LFGroupGeometry(
+                x=tx, y=ty,
+                width=min(tw, m.width - tx * tw),
+                height=min(th, m.height - ty * th),
+                tile_count_x=1 << m.tile_size_shift_x,
+                tile_count_y=1 << m.tile_size_shift_y)
+            px[k, :lfg.height, :lfg.width] = pixels[:lfg.height, :lfg.width]
+            lfgs.append(lfg)
+            self.stats.pixels += lfg.height * lfg.width
+
+        cm = tables_hf_cluster_map_1()
+        with self.stats.stage("dispatch"):
+            out = encode_tiles_packed(
+                jnp.asarray(px),
+                np.array([g.height for g in lfgs], np.int32),
+                np.array([g.width for g in lfgs], np.int32),
+                jnp.asarray(cm), buf_h=th, buf_w=tw,
+                linear_light=m.linear_light, num_clusters=9,
+                sample_kind=fmt,
+                use_pallas=os.environ.get("HYDRIUM_PALLAS", "0") == "1")
+        with self.stats.stage("fetch_aux"):
+            aux = np.asarray(out["aux"])             # [K, A] one fetch
+        used = (((aux[:, 1] + 31) >> 5) + ((aux[:, 2] + 31) >> 5))
+        with self.stats.stage("fetch_streams"):
+            wmax = int(used.max()) if np.all(aux[:, 0]) else out[
+                "streams"].shape[1]
+            words = _fetch_prefix_2d(out["streams"], wmax)  # [K, <=wmax+1]
+
+        for k, (pixels, tx, ty) in enumerate(entries):
+            lfg = lfgs[k]
+            last = self._tile_is_last(tx, ty, tw, th, -1)
+            parsed = _parse_packed(aux[k], words[k], th, tw, lfg)
+            if parsed is None:   # packed overflow: redo this tile alone
+                self._send_tile_tiled(pixels, tx, ty, -1, fmt)
+                continue
+            geo = FrameGeometry(
+                image_width=m.width, image_height=m.height, one_frame=False,
+                lfg_count_x=1, lf_groups=[lfg], lfg_arrival=[0])
+            main = new_bitwriter()
+            if not self._wrote_header:
+                self._image_header(main)
+            write_frame_header(main, geo, last)
+            hf = HFStream(geo.num_presets)
+            with self.stats.stage("walk"):
+                _feed_hf_packed(hf, parsed, lfg, tw, th, 0)
+            asm = _FrameAssembler(geo.num_frame_groups > 1)
+            with self.stats.stage("lf_sections"):
+                write_lf_global(asm.working)
+                asm.end_section()
+                write_lf_group(asm.working, parsed["lf_q"])
+                asm.end_section()
+            with self.stats.stage("ans_encode"):
+                hf.encode_group_sections()
+            hf.write_hf_global(asm.working, geo.num_frame_groups)
+            asm.end_section()
+            for gbw in hf.group_sections:
+                asm.working.append_writer(gbw)
+                asm.end_section()
+            asm.write_toc_sizes(main)
+            self._out.extend(main.finalize())
+            self._out.extend(asm.working.finalize())
+            if last:
+                self._finished = True
+
     # -- one-frame mode -------------------------------------------------
 
     def _send_tile_one_frame(self, pixels, tile_x, tile_y, is_last,
@@ -541,12 +704,24 @@ def encode_image(image: np.ndarray, tile_size_shift: int = -1,
                          tile_size_shift_x=tile_size_shift,
                          tile_size_shift_y=tile_size_shift)
     enc = Encoder(meta, backend=backend)
-    tile = 2048 if meta.one_frame else meta.tile_width
     out = bytearray()
-    for ty in range((h + tile - 1) // tile):
-        for tx in range((w + tile - 1) // tile):
-            y0, x0 = ty * tile, tx * tile
-            enc.send_tile(image[y0:y0 + tile, x0:x0 + tile], tx, ty,
-                          sample_fmt=sample_fmt)
-            out.extend(enc.take_output())
+    if meta.one_frame:
+        tile = 2048
+        for ty in range((h + tile - 1) // tile):
+            for tx in range((w + tile - 1) // tile):
+                y0, x0 = ty * tile, tx * tile
+                enc.send_tile(image[y0:y0 + tile, x0:x0 + tile], tx, ty,
+                              sample_fmt=sample_fmt)
+                out.extend(enc.take_output())
+        return bytes(out)
+    tw, th = meta.tile_width, meta.tile_height
+    entries = [
+        (image[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw], tx, ty)
+        for ty in range((h + th - 1) // th)
+        for tx in range((w + tw - 1) // tw)
+    ]
+    batch = 16
+    for i in range(0, len(entries), batch):
+        enc.send_tile_batch(entries[i:i + batch], sample_fmt=sample_fmt)
+        out.extend(enc.take_output())
     return bytes(out)

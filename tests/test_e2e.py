@@ -149,3 +149,25 @@ def test_float32_jax_backend():
     mine = encode_image(imgf, tile_size_shift=-1, backend="jax")
     dec = djxl.decode(mine)
     assert djxl.psnr(img8 / 255.0, dec) > 30
+
+
+def test_tile_batch_equals_per_tile():
+    """send_tile_batch must produce exactly the per-tile path's bytes."""
+    from hydrium_tpu.config import ImageMetadata
+    from hydrium_tpu.encoder import Encoder
+
+    img = make_image(300, 700, "noise", seed=15)
+    meta = ImageMetadata(width=700, height=300, tile_size_shift_x=0,
+                         tile_size_shift_y=0)
+    enc_a = Encoder(meta, backend="jax")
+    entries = [(img[ty * 256:(ty + 1) * 256, tx * 256:(tx + 1) * 256],
+                tx, ty)
+               for ty in range(2) for tx in range(3)]
+    enc_a.send_tile_batch(entries)
+    batched = enc_a.take_output()
+
+    enc_b = Encoder(meta, backend="jax")
+    for px, tx, ty in entries:
+        enc_b.send_tile(px, tx, ty)
+    per_tile = enc_b.take_output()
+    assert batched == per_tile
