@@ -372,13 +372,18 @@ class Encoder:
 
     # -- public API -----------------------------------------------------
 
-    def send_tile(self, pixels: np.ndarray, tile_x: int = 0, tile_y: int = 0,
+    def send_tile(self, pixels, tile_x: int = 0, tile_y: int = 0,
                   is_last: int = -1,
                   sample_fmt: SampleFormat = SampleFormat.UINT8) -> None:
         """Encode one tile.  `pixels` is [tile_h, tile_w, 3] in the tile's
-        actual (possibly clipped) dimensions."""
+        actual (possibly clipped) dimensions, or a (r, g, b) tuple of
+        planar [tile_h, tile_w] arrays (the reference accepts planar or
+        packed buffers via strides; libhydrium.h:208-218).  Strided numpy
+        views are accepted either way."""
         if self._finished:
             raise RuntimeError("tile sent after the last tile")
+        if isinstance(pixels, (tuple, list)):
+            pixels = np.stack([np.asarray(p) for p in pixels], axis=-1)
         fmt = sample_fmt.value
         if self.metadata.one_frame:
             self._send_tile_one_frame(pixels, tile_x, tile_y, is_last, fmt)

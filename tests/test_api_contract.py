@@ -127,3 +127,13 @@ def test_wide_lfg_parity():
     ref = ref_hydrium.encode(img, tile_size_shift=-1)
     mine = encode_image(img, tile_size_shift=-1)
     assert mine == ref
+
+
+def test_planar_input_matches_packed():
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 255, (100, 120, 3), dtype=np.uint8)
+    a = Encoder(ImageMetadata(width=120, height=100))
+    a.send_tile(img, 0, 0)
+    b = Encoder(ImageMetadata(width=120, height=100))
+    b.send_tile((img[..., 0], img[..., 1], img[..., 2]), 0, 0)
+    assert a.take_output() == b.take_output()
