@@ -479,13 +479,16 @@ class Encoder:
 
     def send_tile_batch(self, entries,
                         sample_fmt: SampleFormat = SampleFormat.UINT8) -> None:
-        """Encode several tiled-mode tiles with ONE device dispatch and
-        two host fetches for the whole batch (a TPU-era extension: the
-        reference is strictly one tile at a time).
+        """Encode several tiled-mode tiles with one device dispatch and
+        two host fetches per batch (a TPU-era extension: the reference is
+        strictly one tile at a time, libhydrium.h:196+).
 
-        entries: list of (pixels, tile_x, tile_y); is_last is derived
-        from coordinates.  Jax backend + native plane only; falls back
-        to per-tile sends otherwise."""
+        Full-size tiles are STACKED vertically into a single buffer and
+        run through the ordinary packed pipeline -- each 256x256 group of
+        the stacked image belongs to exactly one tile and groups never
+        interact, so the per-group streams come back cleanly separable.
+        Edge (clipped) tiles run individually.  entries: list of
+        (pixels, tile_x, tile_y)."""
         m = self.metadata
         fmt = sample_fmt.value
         from .jxl import native as _native
@@ -497,48 +500,82 @@ class Encoder:
             return
 
         import jax.numpy as jnp
-        from .ops.pipeline import encode_tiles_packed
+        from .ops.pipeline import encode_lfg_packed
 
         tw, th = m.tile_width, m.tile_height
-        K = len(entries)
-        px = np.zeros((K, th, tw, 3), dtype=np.asarray(entries[0][0]).dtype)
+        K_stack = max(1, 4096 // th)
+        gcx = tw >> 8
+        gpt = (th >> 8) * gcx            # groups per full tile
+        cm = tables_hf_cluster_map_1()
+        cm_dev = jnp.asarray(cm)
+        kwargs = dict(buf_h=K_stack * th, buf_w=tw,
+                      linear_light=m.linear_light, num_clusters=9,
+                      sample_kind=fmt,
+                      use_pallas=os.environ.get("HYDRIUM_PALLAS", "0") == "1")
+
         lfgs = []
-        for k, (pixels, tx, ty) in enumerate(entries):
+        for pixels, tx, ty in entries:
             lfg = LFGroupGeometry(
                 x=tx, y=ty,
                 width=min(tw, m.width - tx * tw),
                 height=min(th, m.height - ty * th),
                 tile_count_x=1 << m.tile_size_shift_x,
                 tile_count_y=1 << m.tile_size_shift_y)
-            px[k, :lfg.height, :lfg.width] = pixels[:lfg.height, :lfg.width]
             lfgs.append(lfg)
             self.stats.pixels += lfg.height * lfg.width
 
-        cm = tables_hf_cluster_map_1()
-        with self.stats.stage("dispatch"):
-            out = encode_tiles_packed(
-                jnp.asarray(px),
-                np.array([g.height for g in lfgs], np.int32),
-                np.array([g.width for g in lfgs], np.int32),
-                jnp.asarray(cm), buf_h=th, buf_w=tw,
-                linear_light=m.linear_light, num_clusters=9,
-                sample_kind=fmt,
-                use_pallas=os.environ.get("HYDRIUM_PALLAS", "0") == "1")
-        with self.stats.stage("fetch_aux"):
-            aux = np.asarray(out["aux"])             # [K, A] one fetch
-        used = (((aux[:, 1] + 31) >> 5) + ((aux[:, 2] + 31) >> 5))
-        with self.stats.stage("fetch_streams"):
-            wmax = int(used.max()) if np.all(aux[:, 0]) else out[
-                "streams"].shape[1]
-            words = _fetch_prefix_2d(out["streams"], wmax)  # [K, <=wmax+1]
+        full_idx = [i for i, g in enumerate(lfgs)
+                    if g.height == th and g.width == tw]
+        payloads: dict = {}
 
-        for k, (pixels, tx, ty) in enumerate(entries):
-            lfg = lfgs[k]
-            last = self._tile_is_last(tx, ty, tw, th, -1)
-            parsed = _parse_packed(aux[k], words[k], th, tw, lfg)
-            if parsed is None:   # packed overflow: redo this tile alone
+        for c0 in range(0, len(full_idx), K_stack):
+            chunk = full_idx[c0:c0 + K_stack]
+            px = np.zeros((K_stack * th, tw, 3),
+                          dtype=np.asarray(entries[0][0]).dtype)
+            for j, i in enumerate(chunk):
+                px[j * th:(j + 1) * th] = entries[i][0][:th, :tw]
+            with self.stats.stage("dispatch"):
+                out = encode_lfg_packed(
+                    jnp.asarray(px), K_stack * th, tw,
+                    jnp.zeros(((K_stack * th >> 8) * gcx,), jnp.int32),
+                    cm_dev, **kwargs)
+            stacked_geom = LFGroupGeometry(
+                x=0, y=0, width=tw, height=K_stack * th,
+                tile_count_x=gcx, tile_count_y=K_stack * th >> 8)
+            with self.stats.stage("fetch_aux"):
+                aux = np.asarray(out["aux"])
+            if not bool(aux[0]):
+                for i in chunk:
+                    payloads[i] = None   # overflow: per-tile fallback
+                continue
+            tok_used = (int(aux[1]) + 31) >> 5
+            res_used = (int(aux[2]) + 31) >> 5
+            with self.stats.stage("fetch_streams"):
+                words = _fetch_prefix(out["streams"], tok_used + res_used)
+            parsed = _parse_packed(aux, words, K_stack * th, tw,
+                                   stacked_geom)
+            for j, i in enumerate(chunk):
+                g0 = j * gpt
+                g1 = g0 + gpt
+                lf0 = j * (th >> 3)
+                payloads[i] = {
+                    "lf_q": parsed["lf_q"][lf0:lf0 + (th >> 3)],
+                    "valid": parsed["valid"][g0 * 3072:g1 * 3072],
+                    "gs": parsed["gs"][g0:g1],
+                    "tok_off": parsed["tok_off"][g0:g1],
+                    "res_off": parsed["res_off"][g0:g1],
+                    "tok_words": parsed["tok_words"],
+                    "res_words": parsed["res_words"],
+                }
+
+        # serialize all tiles in entry order
+        for i, (pixels, tx, ty) in enumerate(entries):
+            lfg = lfgs[i]
+            p = payloads.get(i, "single")
+            if p is None or p == "single":
                 self._send_tile_tiled(pixels, tx, ty, -1, fmt)
                 continue
+            last = self._tile_is_last(tx, ty, tw, th, -1)
             geo = FrameGeometry(
                 image_width=m.width, image_height=m.height, one_frame=False,
                 lfg_count_x=1, lf_groups=[lfg], lfg_arrival=[0])
@@ -548,12 +585,14 @@ class Encoder:
             write_frame_header(main, geo, last)
             hf = HFStream(geo.num_presets)
             with self.stats.stage("walk"):
-                _feed_hf_packed(hf, parsed, lfg, tw, th, 0)
+                hf.add_lfg_packed(p["tok_words"], p["res_words"],
+                                  p["valid"], 0, p["tok_off"], p["res_off"],
+                                  p["gs"])
             asm = _FrameAssembler(geo.num_frame_groups > 1)
             with self.stats.stage("lf_sections"):
                 write_lf_global(asm.working)
                 asm.end_section()
-                write_lf_group(asm.working, parsed["lf_q"])
+                write_lf_group(asm.working, p["lf_q"])
                 asm.end_section()
             with self.stats.stage("ans_encode"):
                 hf.encode_group_sections()

@@ -425,27 +425,9 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
     return {"aux": aux, "streams": streams, "hist": out["hist"]}
 
 
-@partial(jax.jit, static_argnames=("buf_h", "buf_w", "linear_light",
-                                   "num_clusters", "sample_kind",
-                                   "use_pallas"))
-def encode_tiles_packed(pixels: jnp.ndarray, heights, widths,
-                        cluster_map: jnp.ndarray, *, buf_h: int, buf_w: int,
-                        linear_light: bool, num_clusters: int,
-                        sample_kind: str,
-                        use_pallas: bool = False) -> Dict[str, jnp.ndarray]:
-    """Batched tiled-mode pipeline: K independent tile-frames in one
-    dispatch (pixels [K, buf_h, buf_w, 3], true dims per tile), so the
-    host pays two interconnect round-trips per *batch* instead of per
-    tile.  Each tile uses preset 0 (tiled frames have one preset)."""
-    K = pixels.shape[0]
-    G = (buf_h >> 8) * (buf_w >> 8)
-
-    def one(px, hh, ww):
-        return encode_lfg_packed(
-            px, hh, ww, jnp.zeros((G,), jnp.int32), cluster_map,
-            buf_h=buf_h, buf_w=buf_w, linear_light=linear_light,
-            num_clusters=num_clusters, sample_kind=sample_kind,
-            use_pallas=use_pallas)
-
-    return jax.vmap(one)(pixels, jnp.asarray(heights, jnp.int32),
-                         jnp.asarray(widths, jnp.int32))
+# NOTE: an earlier vmapped batch variant of the packed pipeline
+# reliably wedged the remote Mosaic/XLA compile service; tiled-mode
+# batching instead STACKS same-size tiles vertically into one buffer and
+# reuses this very executable -- a 256x256 group of the stacked image IS
+# one tile's group, and groups never interact (encoder.py
+# send_tile_batch).
