@@ -54,8 +54,11 @@ def main(argv=None) -> int:
                    help="input is linear light (default: sRGB)")
     p.add_argument("--tag-icc-from", metavar="FILE.icc", default=None,
                    help="tag output with this ICC profile (one-frame only)")
-    p.add_argument("--backend", choices=("jax", "numpy"), default="jax",
-                   help="math backend (default: jax / TPU)")
+    p.add_argument("--backend", choices=("jax", "numpy"), default=None,
+                   help="math backend (overrides --profile)")
+    p.add_argument("--profile", choices=("fast", "conformance"),
+                   default="fast",
+                   help="encoder profile (default: fast / TPU)")
     p.add_argument("--verify", action="store_true",
                    help="decode the output with libjxl and report PSNR")
     p.add_argument("--stats", action="store_true",
@@ -82,13 +85,15 @@ def main(argv=None) -> int:
     meta = ImageMetadata(width=w, height=h, linear_light=args.linear,
                          tile_size_shift_x=tile_shift,
                          tile_size_shift_y=tile_shift)
-    enc = Encoder(meta, backend=args.backend)
+    enc = Encoder(meta, backend=args.backend or "jax",
+                  profile=None if args.backend else args.profile)
     if args.tag_icc_from:
         with open(args.tag_icc_from, "rb") as f:
             enc.set_suggested_icc_profile(f.read())
 
     out = (sys.stdout.buffer if args.output == "-"
            else open(args.output, "wb"))
+    captured = bytearray() if args.verify else None
     t0 = time.perf_counter()
     tile = 2048 if meta.one_frame else meta.tile_width
     total = 0
@@ -100,6 +105,8 @@ def main(argv=None) -> int:
                           sample_fmt=sample_fmt)
             chunk = enc.take_output()
             out.write(chunk)
+            if captured is not None:
+                captured.extend(chunk)
             total += len(chunk)
     dt = time.perf_counter() - t0
     if out is not sys.stdout.buffer:
@@ -113,8 +120,7 @@ def main(argv=None) -> int:
     if args.verify:
         from .utils import djxl
 
-        with open(args.output, "rb") as f:
-            dec = djxl.decode(f.read())
+        dec = djxl.decode(bytes(captured))
         if fmt == "uint8":
             ref = img / 255.0
         elif fmt == "uint16":

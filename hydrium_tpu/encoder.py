@@ -60,10 +60,6 @@ def _lfg_numpy(pixels, sample_fmt, linear_light, lfg, preset, hf):
     return lf_q, None
 
 
-def _prefix_slicer_cache():
-    return {}
-
-
 _SLICERS: dict = {}
 
 
@@ -71,21 +67,6 @@ def tables_hf_cluster_map_1():
     from .ops import tables
 
     return tables.hf_cluster_map(1)
-
-
-def _fetch_prefix_2d(arr, nwords: int) -> np.ndarray:
-    """Fetch arr[:, :nwords(+1)] with power-of-two column buckets."""
-    import jax
-
-    n = min(nwords + 1, arr.shape[1])
-    b = 1 << (max(n - 1, 1)).bit_length()
-    b = min(b, arr.shape[1])
-    key = ("2d", int(arr.shape[0]), int(arr.shape[1]), b, str(arr.dtype))
-    f = _SLICERS.get(key)
-    if f is None:
-        f = jax.jit(lambda a, _b=b: a[:, :_b])
-        _SLICERS[key] = f
-    return np.asarray(f(arr))[:, :n]
 
 
 def _fetch_prefix(arr, nwords: int) -> np.ndarray:
@@ -228,43 +209,19 @@ class _JaxDispatch:
             with stage("fetch_aux"):
                 aux = self._aux if self._aux is not None else np.asarray(
                     self.out["aux"])
-            ok = bool(aux[0])
-            if ok:
-                tok_total, res_total = int(aux[1]), int(aux[2])
-                gs = aux[3:3 + G].astype(np.int64)
-                gr = aux[3 + G:3 + 2 * G].astype(np.int64)
-                nv = (N + 3) // 4
-                valid = aux[3 + 2 * G:3 + 2 * G + nv].view(np.uint8)[:N]
-                lf_n = vbh * vbw * 3
-                lf_q = np.ascontiguousarray(
-                    aux[3 + 2 * G + nv:]).view(np.int16)[:lf_n].astype(
-                    np.int32).reshape(vbh, vbw, 3)[:vh, :vw]
-                tok_used = (tok_total + 31) >> 5
-                res_used = (res_total + 31) >> 5
+            if bool(aux[0]):
+                tok_used = (int(aux[1]) + 31) >> 5
+                res_used = (int(aux[2]) + 31) >> 5
                 with stage("fetch_streams"):
                     words = (self._words if self._words is not None
                              else _fetch_prefix(self.out["streams"],
                                                 tok_used + res_used))
-                tok_words = words[:tok_used + 1]
-                res_words = np.ascontiguousarray(words[tok_used:])
-                tok_off = 6 * (np.cumsum(gs) - gs)
-                res_off = np.cumsum(gr) - gr
-                full_grid = (lfg.group_count_y == (self.buf_h >> 8)
-                             and lfg.group_count_x == bgcx)
+                parsed = _parse_packed(aux, words, self.buf_h, self.buf_w,
+                                       lfg)
                 with stage("walk"):
-                    if full_grid and hasattr(hf, "add_lfg_packed"):
-                        hf.add_lfg_packed(tok_words, res_words, valid,
-                                          self.preset, tok_off, res_off, gs)
-                    else:
-                        for gy in range(lfg.group_count_y):
-                            for gx in range(lfg.group_count_x):
-                                gi = gy * bgcx + gx
-                                hf.add_group_packed(
-                                    tok_words, int(tok_off[gi]), res_words,
-                                    int(res_off[gi]),
-                                    valid[gi * 3072:(gi + 1) * 3072],
+                    _feed_hf_packed(hf, parsed, lfg, self.buf_w, self.buf_h,
                                     self.preset)
-                return lf_q, None
+                return parsed["lf_q"], None
             # fall through to the unpacked path on overflow
 
         from .ops.pipeline import encode_lfg
@@ -337,8 +294,15 @@ class Encoder:
 
     def __init__(self, metadata: ImageMetadata, backend: str = "numpy",
                  streaming: Optional[bool] = None,
-                 spool_dir: Optional[str] = None) -> None:
+                 spool_dir: Optional[str] = None,
+                 profile=None) -> None:
         metadata.validate()
+        if profile is not None:
+            from .models import get_profile
+
+            if isinstance(profile, str):
+                profile = get_profile(profile)
+            backend = profile.backend
         self.metadata = metadata
         self.backend = backend
         self.spool_dir = spool_dir
@@ -428,41 +392,37 @@ class Encoder:
 
     # -- tiled mode -----------------------------------------------------
 
-    def _send_tile_tiled(self, pixels, tile_x, tile_y, is_last, fmt) -> None:
+    def _tile_geometry(self, tile_x: int, tile_y: int) -> LFGroupGeometry:
         m = self.metadata
         tw, th = m.tile_width, m.tile_height
         if tile_x >= (m.width + tw - 1) // tw or \
                 tile_y >= (m.height + th - 1) // th:
             raise ValueError("tile out of bounds")
-        lfg = LFGroupGeometry(
+        return LFGroupGeometry(
             x=tile_x, y=tile_y,
             width=min(tw, m.width - tile_x * tw),
             height=min(th, m.height - tile_y * th),
             tile_count_x=1 << m.tile_size_shift_x,
             tile_count_y=1 << m.tile_size_shift_y)
+
+    def _emit_tiled_frame(self, lfg: LFGroupGeometry, last: bool,
+                          lf_q, lf_res, hf) -> None:
+        """Serialize one tile-frame (header, LF sections, HF sections,
+        TOC) from an already-fed HF stream and append to the output."""
+        m = self.metadata
         geo = FrameGeometry(
             image_width=m.width, image_height=m.height, one_frame=False,
             lfg_count_x=1, lf_groups=[lfg], lfg_arrival=[0])
-        last = self._tile_is_last(tile_x, tile_y, tw, th, is_last)
-
         main = new_bitwriter()
         if not self._wrote_header:
             self._image_header(main)
         write_frame_header(main, geo, last)
-
-        hf = HFStream(geo.num_presets)
-        self.stats.pixels += lfg.height * lfg.width
-        with self.stats.stage("pipeline+transfer"):
-            lf_q, lf_res = _BACKENDS[self.backend](
-                pixels, fmt, m.linear_light, lfg, 0, hf)
-
         asm = _FrameAssembler(geo.num_frame_groups > 1)
         with self.stats.stage("lf_sections"):
             write_lf_global(asm.working)
             asm.end_section()
             write_lf_group(asm.working, lf_q, lf_res)
             asm.end_section()
-
         with self.stats.stage("ans_encode"):
             hf.encode_group_sections()
         hf.write_hf_global(asm.working, geo.num_frame_groups)
@@ -470,12 +430,23 @@ class Encoder:
         for gbw in hf.group_sections:
             asm.working.append_writer(gbw)
             asm.end_section()
-
         asm.write_toc_sizes(main)
         self._out.extend(main.finalize())
         self._out.extend(asm.working.finalize())
         if last:
             self._finished = True
+
+    def _send_tile_tiled(self, pixels, tile_x, tile_y, is_last, fmt) -> None:
+        m = self.metadata
+        lfg = self._tile_geometry(tile_x, tile_y)
+        last = self._tile_is_last(tile_x, tile_y, m.tile_width,
+                                  m.tile_height, is_last)
+        hf = HFStream(1)
+        self.stats.pixels += lfg.height * lfg.width
+        with self.stats.stage("pipeline+transfer"):
+            lf_q, lf_res = _BACKENDS[self.backend](
+                pixels, fmt, m.linear_light, lfg, 0, hf)
+        self._emit_tiled_frame(lfg, last, lf_q, lf_res, hf)
 
     def send_tile_batch(self, entries,
                         sample_fmt: SampleFormat = SampleFormat.UINT8) -> None:
@@ -515,12 +486,7 @@ class Encoder:
 
         lfgs = []
         for pixels, tx, ty in entries:
-            lfg = LFGroupGeometry(
-                x=tx, y=ty,
-                width=min(tw, m.width - tx * tw),
-                height=min(th, m.height - ty * th),
-                tile_count_x=1 << m.tile_size_shift_x,
-                tile_count_y=1 << m.tile_size_shift_y)
+            lfg = self._tile_geometry(tx, ty)
             lfgs.append(lfg)
             self.stats.pixels += lfg.height * lfg.width
 
@@ -570,42 +536,20 @@ class Encoder:
 
         # serialize all tiles in entry order
         for i, (pixels, tx, ty) in enumerate(entries):
+            if self._finished:
+                raise RuntimeError("tile sent after the last tile")
             lfg = lfgs[i]
             p = payloads.get(i, "single")
             if p is None or p == "single":
                 self._send_tile_tiled(pixels, tx, ty, -1, fmt)
                 continue
             last = self._tile_is_last(tx, ty, tw, th, -1)
-            geo = FrameGeometry(
-                image_width=m.width, image_height=m.height, one_frame=False,
-                lfg_count_x=1, lf_groups=[lfg], lfg_arrival=[0])
-            main = new_bitwriter()
-            if not self._wrote_header:
-                self._image_header(main)
-            write_frame_header(main, geo, last)
-            hf = HFStream(geo.num_presets)
+            hf = HFStream(1)
             with self.stats.stage("walk"):
                 hf.add_lfg_packed(p["tok_words"], p["res_words"],
                                   p["valid"], 0, p["tok_off"], p["res_off"],
                                   p["gs"])
-            asm = _FrameAssembler(geo.num_frame_groups > 1)
-            with self.stats.stage("lf_sections"):
-                write_lf_global(asm.working)
-                asm.end_section()
-                write_lf_group(asm.working, p["lf_q"])
-                asm.end_section()
-            with self.stats.stage("ans_encode"):
-                hf.encode_group_sections()
-            hf.write_hf_global(asm.working, geo.num_frame_groups)
-            asm.end_section()
-            for gbw in hf.group_sections:
-                asm.working.append_writer(gbw)
-                asm.end_section()
-            asm.write_toc_sizes(main)
-            self._out.extend(main.finalize())
-            self._out.extend(asm.working.finalize())
-            if last:
-                self._finished = True
+            self._emit_tiled_frame(lfg, last, p["lf_q"], None, hf)
 
     # -- one-frame mode -------------------------------------------------
 

@@ -426,13 +426,20 @@ class StreamingHFStream:
         self._arrived = [0] * num_presets
         self._per_preset: dict = {}
         self._spool_dir = spool_dir
-        self._spool_files: List = []
-        # (ordered) per-group encoded sections: (bytes, tail_val, tail_bits)
-        # or (file_index, length) when spooled
+        # per-group encoded sections keyed by GLOBAL arrival order: when
+        # lfg_per_preset > 1 and tiles arrive out of order, presets can
+        # flush out of arrival order, but the TOC permutation assumes
+        # sections appear in LFG-arrival order (calculate_toc_permutation)
+        # -- so each section carries its arrival key and iter_sections
+        # sorts.  Entry: (key, (bytes|path, tail_val, tail_bits)).
         self._sections: List = []
-        self._section_order: List[int] = []  # arrival index per section
         self._freqs: List[Optional[np.ndarray]] = [None] * self._num_clusters
-        self._next_arrival = 0
+        # arrival bookkeeping: groups added since the preset's last
+        # finish_lfg, and (arrival_idx, n_groups) runs per preset
+        self._pending_groups = [0] * num_presets
+        self._lfg_runs: dict = {p: [] for p in range(num_presets)}
+        self._global_arrival = 0
+        self._spool_count = 0
 
     def _preset_hf(self, preset: int) -> native.NativeHF:
         hf = self._per_preset.get(preset)
@@ -447,15 +454,21 @@ class StreamingHFStream:
         self._preset_hf(preset).add_group_packed(
             tok_words, tok_bit_off, res_words, res_bit_off, valid_len,
             self.cluster_map, preset)
+        self._pending_groups[preset] += 1
 
     def add_lfg_packed(self, tok_words, res_words, valid_len, preset,
                        tok_bit_offs, res_bit_offs, sym_counts) -> None:
         self._preset_hf(preset).add_lfg_packed(
             tok_words, res_words, valid_len, self.cluster_map, preset,
             tok_bit_offs, res_bit_offs, sym_counts)
+        self._pending_groups[preset] += len(sym_counts)
 
     def finish_lfg(self, preset: int) -> None:
         """Signal that one LF group of `preset` has been fully added."""
+        self._lfg_runs[preset].append(
+            (self._global_arrival, self._pending_groups[preset]))
+        self._global_arrival += 1
+        self._pending_groups[preset] = 0
         self._arrived[preset] += 1
         if self._arrived[preset] == self._expected[preset]:
             self._flush_preset(preset)
@@ -464,18 +477,25 @@ class StreamingHFStream:
         hf = self._per_preset.pop(preset)
         hf.prepare()
         writers = hf.encode_all(cllog2(self.num_presets))
-        for w in writers:
+        # assign arrival keys: the preset's groups were added in its own
+        # LFG arrival order, in runs recorded by finish_lfg
+        keys = []
+        for arrival_idx, n_groups in self._lfg_runs[preset]:
+            keys.extend((arrival_idx, j) for j in range(n_groups))
+        assert len(keys) == len(writers)
+        for key, w in zip(keys, writers):
             raw = w.export_raw()
             if self._spool_dir is not None:
                 import os as _os
 
                 path = _os.path.join(self._spool_dir,
-                                     f"sec{len(self._sections)}.bin")
+                                     f"sec{self._spool_count}.bin")
+                self._spool_count += 1
                 with open(path, "wb") as f:
                     f.write(raw[0])
-                self._sections.append((path, raw[1], raw[2]))
+                self._sections.append((key, (path, raw[1], raw[2])))
             else:
-                self._sections.append(raw)
+                self._sections.append((key, raw))
         # clusters for this preset occupy a contiguous id range
         per = self._num_clusters // self.num_presets
         for c in range(per * preset, per * (preset + 1)):
@@ -485,14 +505,15 @@ class StreamingHFStream:
                          valid_len, preset: int) -> None:
         self._preset_hf(preset).add_group(tokens, clusters, residues,
                                           residue_bits, valid_len, preset)
+        self._pending_groups[preset] += 1
 
     def encode_group_sections(self) -> None:
         assert not self._per_preset, "unflushed presets remain"
 
     def iter_sections(self):
         """Yield (bytes, tail_value, tail_bits) per group section, in
-        arrival order."""
-        for sec in self._sections:
+        global LFG-arrival order (the order the TOC permutation maps)."""
+        for _key, sec in sorted(self._sections, key=lambda kv: kv[0]):
             if isinstance(sec[0], str):
                 with open(sec[0], "rb") as f:
                     yield f.read(), sec[1], sec[2]

@@ -121,7 +121,10 @@ def _icc_header_predict(header: bytes, icc_size: int, i: int) -> int:
             return b"PPL"[i - 41]
         if header[40] == ord("M"):
             return b"SFT"[i - 41]
-        if header[40] == ord("S"):
+        # the reference reads "I "[i-42] even at i=41 (out-of-bounds in C,
+        # a negative index in Python); the JXL spec predictor yields 0 at
+        # i=41 for 'S' platforms, which is what decoders reconstruct with
+        if header[40] == ord("S") and i >= 42:
             if header[41] == ord("G"):
                 return b"I "[i - 42]
             if header[41] == ord("U"):

@@ -7,17 +7,15 @@ import dataclasses
 
 @dataclasses.dataclass(frozen=True)
 class Profile:
-    """An encoder configuration point.
+    """An encoder configuration point, passed to Encoder(profile=...).
 
     backend: math plane ("numpy" = bit-exact with the reference's
     fixed-point/LUT arithmetic; "jax" = TPU device pipeline with direct
     float math, equal-or-better PSNR).
-    native_serializer: use the C++ plane when available.
     """
 
     name: str
     backend: str
-    native_serializer: bool = True
 
 
 #: Byte-identical to the reference encoder for identical inputs.

@@ -73,9 +73,13 @@ def _cbrt(x):
 
 def _kernel(zky_ref, zkx_ref, wq_ref, pixels_ref, dctl_ref, csel_ref,
             q_out_ref, dc_out_ref, fscratch_ref, *, linear_light: bool,
-            sample_scale: float):
-    # Mosaic lacks a direct u8->f32 cast; hop through int32
-    px = pixels_ref[0].astype(jnp.int32).astype(jnp.float32) * sample_scale
+            sample_scale: float, integer_samples: bool):
+    if integer_samples:
+        # Mosaic lacks a direct u8/u16->f32 cast; hop through int32
+        px = (pixels_ref[0].astype(jnp.int32).astype(jnp.float32)
+              * sample_scale)
+    else:
+        px = pixels_ref[0].astype(jnp.float32) * sample_scale
     if not linear_light:
         lo = 0.07739938080495357 * px
         hi = 0.003094300919832 + px * (
@@ -132,7 +136,8 @@ def frontend_groups(pixels: jnp.ndarray, *, linear_light: bool,
     g = pixels.shape[0]
     scale = {"uint8": 1.0 / 255.0, "uint16": 1.0 / 65535.0,
              "float32": 1.0}[sample_kind]
-    kernel = partial(_kernel, linear_light=linear_light, sample_scale=scale)
+    kernel = partial(_kernel, linear_light=linear_light, sample_scale=scale,
+                     integer_samples=sample_kind != "float32")
     px_cm = pixels.transpose(0, 3, 1, 2)   # channel-major
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

@@ -422,7 +422,10 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
     streams = jax.lax.dynamic_update_slice(streams, tok_words, (0,))
     streams = jax.lax.dynamic_update_slice(streams, res_words, (tok_used,))
 
-    return {"aux": aux, "streams": streams, "hist": out["hist"]}
+    # NOTE: no "hist" here -- the native walker recounts frequencies
+    # host-side, and XLA dead-code-eliminates the unpacked path's
+    # histogram scatter when its output is unused.
+    return {"aux": aux, "streams": streams}
 
 
 # NOTE: an earlier vmapped batch variant of the packed pipeline

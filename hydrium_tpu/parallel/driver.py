@@ -21,7 +21,7 @@ from ..config import ImageMetadata
 from ..jxl.frame import (FrameGeometry, HFStream, LFGroupGeometry,
                          write_frame_header, write_lf_global, write_lf_group)
 from ..jxl import headers
-from ..encoder import _FrameAssembler, _fetch_prefix, new_bitwriter
+from ..encoder import _FrameAssembler, new_bitwriter
 from ..ops import tables
 
 

@@ -48,3 +48,34 @@ def test_streaming_no_spool():
     streamed = encode(img, streaming=True)
     regular = encode(img, streaming=False)
     assert np.array_equal(djxl.decode(streamed), djxl.decode(regular))
+
+
+def test_streaming_sections_follow_arrival_order():
+    """With lfg_per_preset > 1 and out-of-order arrival, presets flush
+    out of arrival order; sections must still come out in global LFG
+    arrival order (the TOC permutation's assumption)."""
+    from hydrium_tpu.jxl.frame import StreamingHFStream
+
+    hf = StreamingHFStream(2, [2, 2])
+    tokens = np.zeros((4, 3, 64), np.uint16)
+    clusters = np.zeros((4, 3, 64), np.uint8)
+    residues = np.zeros((4, 3, 64), np.uint32)
+    rbits = np.zeros((4, 3, 64), np.uint8)
+    valid = np.ones((4, 3), np.int32)
+
+    def add(preset, marker):
+        t = tokens.copy()
+        t[0, 0, 0] = marker  # distinguishes sections by content
+        hf.add_group_padded(t, clusters, residues, rbits, valid, preset)
+
+    # arrival order: preset1-LFG, preset1-LFG (flush), preset0, preset0
+    add(1, 5); hf.finish_lfg(1)
+    add(1, 6); hf.finish_lfg(1)   # preset 1 flushes FIRST
+    add(0, 7); hf.finish_lfg(0)
+    add(0, 8); hf.finish_lfg(0)   # preset 0 flushes second
+    hf.encode_group_sections()
+    keys = [k for k, _ in sorted(hf._sections, key=lambda kv: kv[0])]
+    # arrival keys 0..3 in order, regardless of flush order
+    assert [k[0] for k in keys] == [0, 1, 2, 3]
+    secs = list(hf.iter_sections())
+    assert len(secs) == 4
