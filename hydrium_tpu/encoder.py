@@ -69,6 +69,24 @@ def tables_hf_cluster_map_1():
     return tables.hf_cluster_map(1)
 
 
+def _fetch_range(arr, start: int, length: int) -> np.ndarray:
+    """Fetch arr[start:start+length(+1)] with a power-of-two bucketed
+    static length and dynamic start."""
+    import jax
+
+    n = min(length + 1, arr.shape[0] - start)
+    b = 1 << (max(n - 1, 1)).bit_length()
+    b = min(b, arr.shape[0])
+    key = ("rng", int(arr.shape[0]), b, str(arr.dtype))
+    f = _SLICERS.get(key)
+    if f is None:
+        f = jax.jit(lambda a, s0, _b=b: jax.lax.dynamic_slice(a, (s0,), (_b,)))
+        _SLICERS[key] = f
+    s0 = min(start, arr.shape[0] - b)
+    off = start - s0
+    return np.asarray(f(arr, s0))[off:off + n]
+
+
 def _fetch_prefix(arr, nwords: int) -> np.ndarray:
     """Fetch arr[:nwords] (+1 safety word) with power-of-two bucketed
     static slices so each buffer size compiles a handful of slicers."""
@@ -143,6 +161,10 @@ class _JaxDispatch:
                  "presets_dev", "cm_dev", "px", "_aux", "_words",
                  "_pf_thread")
 
+    # per-buffer-shape guess of the stream word count, fed back from the
+    # previous LF group so the combined payload usually needs ONE fetch
+    _HINTS: dict = {}
+
     def __init__(self, pixels, sample_fmt, linear_light, lfg, preset, hf):
         import jax.numpy as jnp
         from .ops.pipeline import encode_lfg_packed
@@ -179,16 +201,30 @@ class _JaxDispatch:
         self._pf_thread = None
 
     def prefetch(self) -> None:
-        """Pull aux + streams to the host (run on a worker thread so the
-        next LF group's transfers overlap the current one's walk)."""
+        """Pull the combined payload to the host (run on a worker thread
+        so the next LF group's transfers overlap the current one's walk).
+
+        One bucketed fetch sized by the previous LF group's stream
+        length; a ranged top-up only when the guess was short."""
         try:
-            aux = np.asarray(self.out["aux"])
+            from .ops.pipeline import packed_aux_len
+
+            A = packed_aux_len(self.buf_h, self.buf_w)
+            key = (self.buf_h, self.buf_w)
+            hint = self._HINTS.get(key, 1 << 19)
+            combined = self.out["combined"]
+            first = _fetch_prefix(combined, A + hint)
+            aux = np.ascontiguousarray(first[:A]).view(np.int32)
             self._aux = aux
             if bool(aux[0]):
-                tok_used = (int(aux[1]) + 31) >> 5
-                res_used = (int(aux[2]) + 31) >> 5
-                self._words = _fetch_prefix(self.out["streams"],
-                                            tok_used + res_used)
+                need = ((int(aux[1]) + 31) >> 5) + ((int(aux[2]) + 31) >> 5)
+                self._HINTS[key] = need
+                have = len(first) - A
+                if have >= need + 1:
+                    self._words = first[A:A + need + 1]
+                else:
+                    tail = _fetch_range(combined, A + have, need + 1 - have)
+                    self._words = np.concatenate([first[A:], tail])
         except Exception:
             self._aux = None
             self._words = None
@@ -206,16 +242,12 @@ class _JaxDispatch:
         vbh, vbw = self.buf_h >> 3, self.buf_w >> 3
 
         if self.out is not None:
-            with stage("fetch_aux"):
-                aux = self._aux if self._aux is not None else np.asarray(
-                    self.out["aux"])
-            if bool(aux[0]):
-                tok_used = (int(aux[1]) + 31) >> 5
-                res_used = (int(aux[2]) + 31) >> 5
-                with stage("fetch_streams"):
-                    words = (self._words if self._words is not None
-                             else _fetch_prefix(self.out["streams"],
-                                                tok_used + res_used))
+            if self._aux is None:
+                with stage("fetch_aux"):
+                    self.prefetch()
+            aux = self._aux
+            if aux is not None and bool(aux[0]):
+                words = self._words
                 parsed = _parse_packed(aux, words, self.buf_h, self.buf_w,
                                        lfg)
                 with stage("walk"):
@@ -508,16 +540,26 @@ class Encoder:
             stacked_geom = LFGroupGeometry(
                 x=0, y=0, width=tw, height=K_stack * th,
                 tile_count_x=gcx, tile_count_y=K_stack * th >> 8)
+            from .ops.pipeline import packed_aux_len
+
+            A = packed_aux_len(K_stack * th, tw)
+            hint = _JaxDispatch._HINTS.get((K_stack * th, tw), 1 << 19)
             with self.stats.stage("fetch_aux"):
-                aux = np.asarray(out["aux"])
+                first = _fetch_prefix(out["combined"], A + hint)
+            aux = np.ascontiguousarray(first[:A]).view(np.int32)
             if not bool(aux[0]):
                 for i in chunk:
                     payloads[i] = None   # overflow: per-tile fallback
                 continue
-            tok_used = (int(aux[1]) + 31) >> 5
-            res_used = (int(aux[2]) + 31) >> 5
+            need = ((int(aux[1]) + 31) >> 5) + ((int(aux[2]) + 31) >> 5)
+            _JaxDispatch._HINTS[(K_stack * th, tw)] = need
             with self.stats.stage("fetch_streams"):
-                words = _fetch_prefix(out["streams"], tok_used + res_used)
+                if len(first) - A >= need + 1:
+                    words = first[A:A + need + 1]
+                else:
+                    tail = _fetch_range(out["combined"], len(first),
+                                        A + need + 1 - len(first))
+                    words = np.concatenate([first[A:], tail])
             parsed = _parse_packed(aux, words, K_stack * th, tw,
                                    stacked_geom)
             for j, i in enumerate(chunk):

@@ -418,14 +418,31 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
         per_group_syms, per_group_rbits, valid_i32, lf_packed,
     ])
     tok_used = (tok_total + 31) >> 5
-    streams = jnp.zeros((tok_cap_words + res_cap_words,), jnp.uint32)
-    streams = jax.lax.dynamic_update_slice(streams, tok_words, (0,))
-    streams = jax.lax.dynamic_update_slice(streams, res_words, (tok_used,))
+    # ONE combined buffer: [aux (fixed size) | token words | residue
+    # words], so the host usually needs a single round-trip per LF group
+    # (it guesses the stream length from the previous LF group and tops
+    # up with a ranged fetch only when the guess was short).
+    A = aux.shape[0]
+    combined = jnp.zeros((A + tok_cap_words + res_cap_words,), jnp.uint32)
+    combined = jax.lax.dynamic_update_slice(
+        combined, jax.lax.bitcast_convert_type(aux, jnp.uint32), (0,))
+    combined = jax.lax.dynamic_update_slice(combined, tok_words, (A,))
+    combined = jax.lax.dynamic_update_slice(combined, res_words,
+                                            (A + tok_used,))
 
     # NOTE: no "hist" here -- the native walker recounts frequencies
     # host-side, and XLA dead-code-eliminates the unpacked path's
     # histogram scatter when its output is unused.
-    return {"aux": aux, "streams": streams}
+    return {"combined": combined}
+
+
+def packed_aux_len(buf_h: int, buf_w: int) -> int:
+    """Length (in 32-bit words) of the aux prefix of the combined
+    packed payload for a given buffer shape."""
+    G = (buf_h >> 8) * (buf_w >> 8)
+    N = G * 3072
+    lf = (buf_h >> 3) * (buf_w >> 3) * 3
+    return 3 + 2 * G + (N + 3) // 4 + (lf + 1) // 2
 
 
 # NOTE: an earlier vmapped batch variant of the packed pipeline

@@ -101,12 +101,16 @@ def encode_image_sharded(image: np.ndarray, mesh=None,
         # single-device path does) is the multi-host optimization.
         out = {k: np.asarray(v) for k, v in out.items()}
 
+        from ..ops.pipeline import packed_aux_len
+
+        A = packed_aux_len(2048, 2048)
         G = 64
         N = G * 3072
         nv = N // 4
         for j, lfid in enumerate(ids):
             g = lfgs[lfid]
-            aux = out["aux"][j]
+            combined = out["combined"][j]
+            aux = np.ascontiguousarray(combined[:A]).view(np.int32)
             if not bool(aux[0]):
                 raise RuntimeError("packed-stream overflow; use Encoder")
             tok_total, res_total = int(aux[1]), int(aux[2])
@@ -119,7 +123,7 @@ def encode_image_sharded(image: np.ndarray, mesh=None,
                 aux[3 + 2 * G + nv:]).view(np.int16)[:256 * 256 * 3].astype(
                 np.int32).reshape(256, 256, 3)[:vh, :vw]
             tok_used = (tok_total + 31) >> 5
-            words = out["streams"][j]
+            words = combined[A:]
             tok_words = words[:tok_used + 1]
             res_words = np.ascontiguousarray(words[tok_used:])
             tok_off = 6 * (np.cumsum(gs) - gs)
