@@ -30,8 +30,10 @@ void hyd_hf_free(HydHF*);
 void hyd_hf_add_group(HydHF*, const uint16_t*, const uint8_t*,
                       const uint32_t*, const uint8_t*, const int32_t*, long,
                       uint32_t);
-void hyd_hf_add_group_packed(HydHF*, const uint32_t*, long, const uint32_t*,
-                             long, const uint8_t*, const uint8_t*, uint32_t);
+int hyd_hf_add_lfg_packed(HydHF*, const uint32_t*, const uint32_t*,
+                          const uint16_t*, const uint8_t*, uint32_t, long,
+                          long, long, long, const int64_t*, const int64_t*,
+                          const int64_t*, int);
 int hyd_hf_prepare(HydHF*);
 int hyd_hf_encode_all(HydHF*, int, HydWriter**, int);
 int hyd_hf_write_header(HydHF*, const uint8_t*, long, HydWriter*);
@@ -118,11 +120,21 @@ static void test_hf_padded_and_packed() {
   hyd_hf_free(h);
   printf("hf padded ok\n");
 
-  // packed walker: synthesize a 6-bit token stream + residue bits
+  // packed walker (format v2): Huffman-coded tokens via a fixed-length
+  // transport code (all symbols 6 bits, canonical LSB-first = reversed
+  // 6-bit symbol) + residue bits; no valid-length sidecar -- the walker
+  // reconstructs symbol counts from the decoded nonzero counts.
+  auto rev6 = [](uint32_t v) {
+    uint32_t r = 0;
+    for (int i = 0; i < 6; i++) r |= ((v >> i) & 1) << (5 - i);
+    return r;
+  };
+  std::vector<uint16_t> lut(4096);
+  for (uint32_t idx = 0; idx < 4096; idx++)
+    lut[idx] = (uint16_t)(rev6(idx & 63) | (6 << 8));
   std::vector<uint32_t> tw, rw;
   uint64_t tcache = 0, rcache = 0;
   int tbits = 0, rbitsn = 0;
-  std::vector<uint8_t> vlen(blocks * 3);
   auto put = [](std::vector<uint32_t>& out, uint64_t& cache, int& nbits,
                 uint32_t v, int n) {
     cache |= (uint64_t)v << nbits;
@@ -133,29 +145,34 @@ static void test_hf_padded_and_packed() {
       nbits -= 32;
     }
   };
+  int64_t total_syms = 0;
   for (int b = 0; b < blocks * 3; b++) {
-    int nz = rnd() % 20;
-    // count symbol
-    vlen[b] = 1;
+    int nz = rnd() % 15;
     uint32_t count = nz;
     uint32_t ctok = count < 16 ? count : 16 + ((31 - __builtin_clz(count)) - 1 - 3) * 2 + ((count >> ((31 - __builtin_clz(count)) - 1)) & 1);
     int crb = ctok < 16 ? 0 : (int)((ctok - 16) >> 1) + 3;
-    put(tw, tcache, tbits, ctok, 6);
+    put(tw, tcache, tbits, rev6(ctok), 6);
     if (crb) put(rw, rcache, rbitsn, count & ((1u << crb) - 1), crb);
+    total_syms++;
     // coefficients: emit nz nonzero tokens then stop
     for (int k = 0; k < nz; k++) {
       uint32_t tok = 2 + rnd() % 10;
-      put(tw, tcache, tbits, tok, 6);
-      vlen[b]++;
+      put(tw, tcache, tbits, rev6(tok), 6);
+      total_syms++;
     }
   }
   put(tw, tcache, tbits, 0, 31);  // flush
   put(rw, rcache, rbitsn, 0, 31);
   tw.push_back(0); rw.push_back(0);
+  tw.push_back(0); rw.push_back(0);
   HydHF* h2 = hyd_hf_new(9);
   hyd_hf_force_las(h2, 8);
-  hyd_hf_add_group_packed(h2, tw.data(), 0, rw.data(), 0, vlen.data(),
-                          cm.data(), 0);
+  int64_t toff[1] = {0}, roff[1] = {0}, scount[1] = {total_syms};
+  if (hyd_hf_add_lfg_packed(h2, tw.data(), rw.data(), lut.data(), cm.data(),
+                            0, 1, 1, 32, 32, toff, roff, scount, 2) != 0) {
+    fprintf(stderr, "packed walk failed\n");
+    exit(1);
+  }
   if (hyd_hf_prepare(h2) != 0) {
     fprintf(stderr, "packed prepare failed\n");
     exit(1);

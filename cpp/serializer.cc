@@ -885,6 +885,14 @@ static const int32_t kCoeffNumNzCtx[64] = {
 struct BitReader {
   const uint32_t* words;
   size_t bitpos = 0;
+  // 12-bit lookahead for LUT prefix decode; callers guarantee one slack
+  // word past the last payload word (the host fetches +1).
+  uint32_t peek12() const {
+    size_t w = bitpos >> 5;
+    int s = bitpos & 31;
+    uint64_t v = ((uint64_t)words[w] | ((uint64_t)words[w + 1] << 32)) >> s;
+    return (uint32_t)v & 0xFFF;
+  }
   uint32_t read(int nbits) {
     if (!nbits) return 0;
     size_t w = bitpos >> 5;
@@ -896,23 +904,34 @@ struct BitReader {
   }
 };
 
-// Walk one group's packed streams into a caller-provided Sym range;
-// returns symbols written and folds alphabet maxima into the outputs.
+// Walk one group's packed streams (payload format v2) into a
+// caller-provided Sym range.  Tokens are transport-Huffman-coded
+// (<=12-bit codes, LSB-first; LUT entry = symbol | length << 8) and
+// there is no valid-length sidecar: the number of coefficient symbols
+// per block-channel is reconstructed from the decoded nonzero count,
+// exactly as a JXL decoder does (encoder.c:689-750 emits coefficients
+// until the nonzeros are exhausted).  gbh/gbw give the group's true
+// varblock extent; blocks beyond it emitted nothing on the device.
+// Returns symbols written, or SIZE_MAX on a corrupt/overflowing stream.
 static size_t walk_group_packed(const uint32_t* token_words, long tok_bit_off,
                          const uint32_t* residue_words, long res_bit_off,
-                         const uint8_t* valid_len, const uint8_t* cmap,
-                         Sym* out, uint32_t* alphabet_sizes,
-                         uint32_t* max_alphabet) {
+                         const uint16_t* lut, const uint8_t* cmap,
+                         int gbh, int gbw, Sym* out, size_t out_cap,
+                         uint32_t* alphabet_sizes, uint32_t* max_alphabet) {
   BitReader tr{token_words, (size_t)tok_bit_off};
   BitReader rr{residue_words, (size_t)res_bit_off};
   Sym* dst = out;
+  Sym* end = out + out_cap;
   uint8_t counts[32][32][3];
-  for (int by = 0; by < 32; by++) {
+  for (int by = 0; by < gbh; by++) {
     for (int bx = 0; bx < 32; bx++) {
+      if (bx >= gbw) continue;  // beyond the group's true extent
       for (int c = 0; c < 3; c++) {
-        int vl = valid_len[(by * 32 + bx) * 3 + c];
-        if (!vl) continue;
-        uint32_t tok = tr.read(6);
+        if (dst == end) return SIZE_MAX;
+        // count symbol
+        uint16_t e = lut[tr.peek12()];
+        uint32_t tok = e & 0xFF;
+        tr.bitpos += e >> 8;
         int rb = tok < 16 ? 0 : (int)((tok - 16) >> 1) + 3;
         uint32_t res = rr.read(rb);
         uint32_t count =
@@ -944,8 +963,11 @@ static size_t walk_group_packed(const uint32_t* token_words, long tok_bit_off,
         uint32_t remaining = count;
         int prev = count <= 4;
         int hist = 458 * c + 111;
-        for (int k = 1; k < vl; k++) {
-          tok = tr.read(6);
+        for (int k = 1; k < 64 && remaining; k++) {
+          if (dst == end) return SIZE_MAX;
+          e = lut[tr.peek12()];
+          tok = e & 0xFF;
+          tr.bitpos += e >> 8;
           rb = tok < 16 ? 0 : (int)((tok - 16) >> 1) + 3;
           res = rr.read(rb);
           int ctx = hist + prev +
@@ -967,6 +989,7 @@ static size_t walk_group_packed(const uint32_t* token_words, long tok_bit_off,
             prev = 0;
           }
         }
+        if (remaining) return SIZE_MAX;  // corrupt: nonzeros not exhausted
       }
     }
   }
@@ -975,15 +998,23 @@ static size_t walk_group_packed(const uint32_t* token_words, long tok_bit_off,
 
 // Walk a whole LF group's worth of groups in parallel: per-group bit
 // offsets and symbol counts come from the device (aux payload), so each
-// thread writes a disjoint range of the shared symbol array.
-void hyd_hf_add_lfg_packed(HydHF* h, const uint32_t* token_words,
-                           const uint32_t* residue_words,
-                           const uint8_t* valid_len,  // [n_groups*3072]
-                           const uint8_t* cluster_map, uint32_t preset,
-                           long n_groups, const int64_t* tok_bit_offs,
-                           const int64_t* res_bit_offs,
-                           const int64_t* sym_counts, int n_threads) {
+// thread writes a disjoint range of the shared symbol array.  The
+// buffer grid is gcy x gcx groups; vh/vw give the true varblock extent
+// of the LF group, from which each buffer group's gbh/gbw (and whether
+// it exists at all) follow.  Phantom groups (entirely beyond the
+// extent) produce no HF section.  Returns 0, or -1 when any group's
+// walked symbol count disagrees with the device's count (the caller
+// must then discard this HydHF).
+int hyd_hf_add_lfg_packed(HydHF* h, const uint32_t* token_words,
+                          const uint32_t* residue_words,
+                          const uint16_t* tok_lut,  // [4096]
+                          const uint8_t* cluster_map, uint32_t preset,
+                          long gcy, long gcx, long vh, long vw,
+                          const int64_t* tok_bit_offs,
+                          const int64_t* res_bit_offs,
+                          const int64_t* sym_counts, int n_threads) {
   const uint8_t* cmap = cluster_map + (size_t)1485 * preset;
+  long n_groups = gcy * gcx;
   std::vector<size_t> offsets(n_groups + 1, 0);
   for (long g = 0; g < n_groups; g++)
     offsets[g + 1] = offsets[g] + (size_t)sym_counts[g];
@@ -993,13 +1024,26 @@ void hyd_hf_add_lfg_packed(HydHF* h, const uint32_t* token_words,
   std::vector<std::vector<uint32_t>> alpha(
       n_threads, std::vector<uint32_t>(h->num_clusters, 0));
   std::vector<uint32_t> maxa(n_threads, 0);
+  std::vector<int> errs(n_threads, 0);
+  auto extent = [&](long g, int* gbh, int* gbw) {
+    long gy = g / gcx, gx = g % gcx;
+    long bh = vh - gy * 32, bw = vw - gx * 32;
+    *gbh = (int)std::max(0l, std::min(32l, bh));
+    *gbw = (int)std::max(0l, std::min(32l, bw));
+  };
   auto worker = [&](int t) {
     for (long g = t; g < n_groups; g += n_threads) {
+      int gbh, gbw;
+      extent(g, &gbh, &gbw);
+      if (!gbh || !gbw) {
+        if (sym_counts[g]) errs[t] = 1;
+        continue;
+      }
       size_t wrote = walk_group_packed(
           token_words, tok_bit_offs[g], residue_words, res_bit_offs[g],
-          valid_len + (size_t)g * 3072, cmap, h->syms.data() + base + offsets[g],
-          alpha[t].data(), &maxa[t]);
-      (void)wrote;
+          tok_lut, cmap, gbh, gbw, h->syms.data() + base + offsets[g],
+          (size_t)sym_counts[g], alpha[t].data(), &maxa[t]);
+      if (wrote != (size_t)sym_counts[g]) errs[t] = 1;
     }
   };
   std::vector<std::thread> threads;
@@ -1007,98 +1051,19 @@ void hyd_hf_add_lfg_packed(HydHF* h, const uint32_t* token_words,
   worker(0);
   for (auto& th : threads) th.join();
   for (int t = 0; t < n_threads; t++) {
+    if (errs[t]) return -1;
     h->max_alphabet_size = std::max(h->max_alphabet_size, maxa[t]);
     for (size_t c = 0; c < h->num_clusters; c++)
       h->alphabet_sizes[c] = std::max(h->alphabet_sizes[c], alpha[t][c]);
   }
   for (long g = 0; g < n_groups; g++) {
+    int gbh, gbw;
+    extent(g, &gbh, &gbw);
+    if (!gbh || !gbw) continue;  // phantom buffer group: no HF section
     h->barriers.push_back((size_t)sym_counts[g]);
     h->presets.push_back(preset);
   }
-}
-
-// Reconstruct one group's HF symbol stream from the device's packed
-// 6-bit tokens + residue bitstream, recomputing contexts exactly as
-// encoder.c:689-750 does, and append to the HF batch.  `valid_len` is
-// [32*32, 3] (count symbol + coefficients per block-channel), blocks in
-// raster order over the padded 32x32 group grid.
-void hyd_hf_add_group_packed(HydHF* h, const uint32_t* token_words,
-                             long tok_bit_off,
-                             const uint32_t* residue_words, long res_bit_off,
-                             const uint8_t* valid_len,
-                             const uint8_t* cluster_map, uint32_t preset) {
-  BitReader tr{token_words, (size_t)tok_bit_off};
-  BitReader rr{residue_words, (size_t)res_bit_off};
-  size_t before = h->syms.size();
-  const uint8_t* cmap = cluster_map + (size_t)1485 * preset;
-  uint8_t counts[32][32][3];
-  for (int by = 0; by < 32; by++) {
-    for (int bx = 0; bx < 32; bx++) {
-      for (int c = 0; c < 3; c++) {
-        int vl = valid_len[(by * 32 + bx) * 3 + c];
-        if (!vl) continue;
-        // count symbol
-        uint32_t tok = tr.read(6);
-        int rb = tok < 16 ? 0 : (int)((tok - 16) >> 1) + 3;
-        uint32_t res = rr.read(rb);
-        uint32_t count =
-            tok < 16 ? tok : ((2u | ((tok - 16) & 1)) << rb) | res;
-        counts[by][bx][c] = (uint8_t)count;
-        uint32_t predicted;
-        if (!bx && !by)
-          predicted = 32;
-        else if (!bx)
-          predicted = counts[by - 1][0][c];
-        else if (!by)
-          predicted = counts[0][bx - 1][c];
-        else
-          predicted = (counts[by - 1][bx][c] + (uint32_t)counts[by][bx - 1][c]
-                       + 1) >> 1;
-        uint32_t nzctx = predicted < 8
-                             ? predicted
-                             : 4 + (std::min<uint32_t>(predicted, 64) >> 1);
-        Sym s;
-        s.token = tok;
-        s.residue = res;
-        s.residue_bits = rb;
-        s.cluster = cmap[3 * nzctx + c];
-        h->syms.push_back(s);
-        uint32_t a = tok + 1;
-        h->max_alphabet_size = std::max(h->max_alphabet_size, a);
-        h->alphabet_sizes[s.cluster] = std::max(h->alphabet_sizes[s.cluster], a);
-
-        uint32_t remaining = count;
-        int prev = count <= 4;
-        int hist = 458 * c + 111;
-        for (int k = 1; k < vl; k++) {
-          tok = tr.read(6);
-          rb = tok < 16 ? 0 : (int)((tok - 16) >> 1) + 3;
-          res = rr.read(rb);
-          int ctx = hist + prev +
-                    ((kCoeffNumNzCtx[remaining > 63 ? 63 : remaining]
-                      + kCoeffFreqCtx[k]) << 1);
-          Sym s2;
-          s2.token = tok;
-          s2.residue = res;
-          s2.residue_bits = rb;
-          s2.cluster = cmap[ctx];
-          h->syms.push_back(s2);
-          a = tok + 1;
-          h->max_alphabet_size = std::max(h->max_alphabet_size, a);
-          h->alphabet_sizes[s2.cluster] =
-              std::max(h->alphabet_sizes[s2.cluster], a);
-          if (tok) {
-            prev = 1;
-            remaining--;
-          } else {
-            prev = 0;
-          }
-        }
-      }
-    }
-  }
-  h->barriers.push_back(h->syms.size() - before);
-  h->presets.push_back(preset);
+  return 0;
 }
 
 void hyd_hf_add_group(HydHF* h, const uint16_t* tokens,

@@ -42,7 +42,8 @@ from .ops.hf_tokens import tokenize_group
 from .utils.stats import EncodeStats
 
 
-def _lfg_numpy(pixels, sample_fmt, linear_light, lfg, preset, hf):
+def _lfg_numpy(pixels, sample_fmt, linear_light, lfg, preset, hf,
+               codec=None, stats=None):
     """Numpy conformance backend: computes, tokenizes, and feeds the HF
     stream; returns (lf_q, lf_res_packed_or_None)."""
     xyb = np_ops.pixels_to_xyb(pixels, sample_fmt, linear_light)
@@ -69,14 +70,24 @@ def tables_hf_cluster_map_1():
     return tables.hf_cluster_map(1)
 
 
+def _bucket_words(n: int, cap: int) -> int:
+    """Smallest m * 2^k >= n with m in 4..8: bounds fetch over-read to
+    ~12% while keeping the set of compiled slicers small (4/octave)."""
+    if n >= cap:
+        return cap
+    if n <= 8:
+        return n
+    k = (n - 1).bit_length() - 3
+    return min((((n + (1 << k) - 1) >> k) << k), cap)
+
+
 def _fetch_range(arr, start: int, length: int) -> np.ndarray:
-    """Fetch arr[start:start+length(+1)] with a power-of-two bucketed
-    static length and dynamic start."""
+    """Fetch arr[start:start+length(+1)] with a bucketed static length
+    and dynamic start."""
     import jax
 
     n = min(length + 1, arr.shape[0] - start)
-    b = 1 << (max(n - 1, 1)).bit_length()
-    b = min(b, arr.shape[0])
+    b = _bucket_words(n, arr.shape[0])
     key = ("rng", int(arr.shape[0]), b, str(arr.dtype))
     f = _SLICERS.get(key)
     if f is None:
@@ -88,13 +99,12 @@ def _fetch_range(arr, start: int, length: int) -> np.ndarray:
 
 
 def _fetch_prefix(arr, nwords: int) -> np.ndarray:
-    """Fetch arr[:nwords] (+1 safety word) with power-of-two bucketed
-    static slices so each buffer size compiles a handful of slicers."""
+    """Fetch arr[:nwords] (+1 safety word) with bucketed static slices
+    so each buffer size compiles a handful of slicers."""
     import jax
 
     n = min(nwords + 1, arr.shape[0])
-    b = 1 << (max(n - 1, 1)).bit_length()
-    b = min(b, arr.shape[0])
+    b = _bucket_words(n, arr.shape[0])
     key = (int(arr.shape[0]), b, str(arr.dtype))
     f = _SLICERS.get(key)
     if f is None:
@@ -103,55 +113,101 @@ def _fetch_prefix(arr, nwords: int) -> np.ndarray:
     return np.asarray(f(arr))[:n]
 
 
+def _unpack_lf(words: np.ndarray, lf_n: int, lf_w: int) -> np.ndarray:
+    """Extract lf_n fixed-width (lf_w-bit) fields from a little-endian
+    u32 word array -> uint32 (pack_signed residuals, still zigzagged --
+    exactly what write_lf_group's modular stream consumes)."""
+    if lf_w == 0:
+        return np.zeros(lf_n, np.uint32)
+    idx = np.arange(lf_n, dtype=np.int64) * lf_w
+    w = idx >> 5
+    s = (idx & 31).astype(np.uint64)
+    lo = words[w].astype(np.uint64)
+    hi = words[w + 1].astype(np.uint64)
+    u = ((lo | (hi << np.uint64(32))) >> s) & np.uint64((1 << lf_w) - 1)
+    return u.astype(np.uint32)
+
+
 def _parse_packed(aux: np.ndarray, words, buf_h: int, buf_w: int, lfg):
-    """Decode one packed aux payload (+ fetched stream words) into the
-    pieces the serializer needs; None when the ok flag is unset."""
+    """Decode one packed v2 aux payload (+ fetched stream words) into
+    the pieces the serializer needs; None when the ok flag is unset.
+
+    Layout contract: ops/pipeline.py encode_lfg_packed (see its module
+    comment), cpp/serializer.cc hyd_hf_add_lfg_packed, and
+    parallel/driver.py change together with this function."""
     if not bool(aux[0]):
         return None
     G = (buf_h >> 8) * (buf_w >> 8)
-    N = G * 3072
     vbh, vbw = buf_h >> 3, buf_w >> 3
     vh, vw = (lfg.height + 7) >> 3, (lfg.width + 7) >> 3
-    tok_total, res_total = int(aux[1]), int(aux[2])
-    gs = aux[3:3 + G].astype(np.int64)
-    gr = aux[3 + G:3 + 2 * G].astype(np.int64)
-    nv = (N + 3) // 4
-    valid = aux[3 + 2 * G:3 + 2 * G + nv].view(np.uint8)[:N]
+    tok_total, res_total, lf_w = int(aux[1]), int(aux[2]), int(aux[3])
+    S = 8  # pipeline.AUX_SCALARS
+    hist64 = aux[S:S + 64]
+    o = S + 64
+    gs = aux[o:o + G].astype(np.int64)
+    gr = aux[o + G:o + 2 * G].astype(np.int64)
+    gt = aux[o + 2 * G:o + 3 * G].astype(np.int64)
     lf_n = vbh * vbw * 3
-    lf_q = np.ascontiguousarray(
-        aux[3 + 2 * G + nv:]).view(np.int16)[:lf_n].astype(
-        np.int32).reshape(vbh, vbw, 3)[:vh, :vw]
+    lf_used = (lf_n * lf_w + 31) >> 5
     tok_used = (tok_total + 31) >> 5
     res_used = (res_total + 31) >> 5
-    return {
-        "lf_q": lf_q, "valid": valid, "gs": gs, "gr": gr,
-        "tok_off": 6 * (np.cumsum(gs) - gs), "res_off": np.cumsum(gr) - gr,
-        "tok_used": tok_used, "res_used": res_used,
-        "tok_words": words[:tok_used + 1] if words is not None else None,
-        "res_words": (np.ascontiguousarray(words[tok_used:])
-                      if words is not None else None),
+    out = {
+        "hist64": hist64, "gs": gs, "gr": gr,
+        "tok_off": np.cumsum(gt) - gt, "res_off": np.cumsum(gr) - gr,
+        "need_words": lf_used + tok_used + res_used,
+        "lf_res": None, "tok_words": None, "res_words": None,
     }
+    if words is not None:
+        lf_res = _unpack_lf(words, lf_n, lf_w).reshape(vbh, vbw, 3)
+        out["lf_res"] = lf_res[:vh, :vw]
+        out["tok_words"] = words[lf_used:lf_used + tok_used + 1]
+        out["res_words"] = np.ascontiguousarray(
+            words[lf_used + tok_used:])
+    return out
 
 
-def _feed_hf_packed(hf, parsed, lfg, buf_w: int, buf_h: int,
-                    preset: int) -> None:
-    """Feed a parsed packed payload into an HF stream (bulk-threaded
-    walk when the tile covers its full buffer group grid)."""
-    bgcx = buf_w >> 8
-    full_grid = (lfg.group_count_y == (buf_h >> 8)
-                 and lfg.group_count_x == bgcx)
-    if full_grid and hasattr(hf, "add_lfg_packed"):
-        hf.add_lfg_packed(parsed["tok_words"], parsed["res_words"],
-                          parsed["valid"], preset, parsed["tok_off"],
-                          parsed["res_off"], parsed["gs"])
-        return
-    for gy in range(lfg.group_count_y):
-        for gx in range(lfg.group_count_x):
-            gi = gy * bgcx + gx
-            hf.add_group_packed(
-                parsed["tok_words"], int(parsed["tok_off"][gi]),
-                parsed["res_words"], int(parsed["res_off"][gi]),
-                parsed["valid"][gi * 3072:(gi + 1) * 3072], preset)
+def packed_need_words(aux: np.ndarray, buf_h: int, buf_w: int) -> int:
+    """Stream word count (past the aux prefix) for a v2 aux payload."""
+    lf_n = (buf_h >> 3) * (buf_w >> 3) * 3
+    lf_used = (lf_n * int(aux[3]) + 31) >> 5
+    return lf_used + ((int(aux[1]) + 31) >> 5) + ((int(aux[2]) + 31) >> 5)
+
+
+def packed_verify(aux: np.ndarray, words, buf_h: int, buf_w: int) -> bool:
+    """Check the device-computed wrap-sum checksums of a v2 payload: the
+    aux tail always, and the three stream sections when `words` (the
+    region past the aux prefix) is given.  Guards against transient
+    interconnect corruption (the LF section otherwise has no
+    self-consistency check at all)."""
+    u = aux.view(np.uint32)
+    if int(np.sum(u[8:], dtype=np.uint32)) != int(u[4]):
+        return False
+    if words is None or not bool(aux[0]):
+        return True
+    wu = words.view(np.uint32)
+    lf_n = (buf_h >> 3) * (buf_w >> 3) * 3
+    lf_used = (lf_n * int(aux[3]) + 31) >> 5
+    tok_used = (int(aux[1]) + 31) >> 5
+    res_used = (int(aux[2]) + 31) >> 5
+    if int(np.sum(wu[:lf_used], dtype=np.uint32)) != int(u[5]):
+        return False
+    if int(np.sum(wu[lf_used:lf_used + tok_used],
+                  dtype=np.uint32)) != int(u[6]):
+        return False
+    if int(np.sum(wu[lf_used + tok_used:lf_used + tok_used + res_used],
+                  dtype=np.uint32)) != int(u[7]):
+        return False
+    return True
+
+
+def _feed_hf_packed(hf, parsed, lfg, buf_w: int, buf_h: int, preset: int,
+                    tok_lut) -> None:
+    """Feed a parsed packed payload into an HF stream (bulk-threaded C++
+    walk; the walker handles partial grids itself)."""
+    hf.add_lfg_packed(parsed["tok_words"], parsed["res_words"], tok_lut,
+                      preset, (buf_h >> 8, buf_w >> 8),
+                      (lfg.varblock_height, lfg.varblock_width),
+                      parsed["tok_off"], parsed["res_off"], parsed["gs"])
 
 
 class _JaxDispatch:
@@ -159,23 +215,28 @@ class _JaxDispatch:
 
     __slots__ = ("out", "lfg", "preset", "buf_h", "buf_w", "kwargs",
                  "presets_dev", "cm_dev", "px", "_aux", "_words",
-                 "_pf_thread")
+                 "_pf_thread", "tok_lut", "_codec", "stats")
 
     # per-buffer-shape guess of the stream word count, fed back from the
     # previous LF group so the combined payload usually needs ONE fetch
     _HINTS: dict = {}
+    _warned_prefetch = False
 
-    def __init__(self, pixels, sample_fmt, linear_light, lfg, preset, hf):
+    def __init__(self, pixels, sample_fmt, linear_light, lfg, preset, hf,
+                 codec=None, stats=None):
         import jax.numpy as jnp
         from .ops.pipeline import encode_lfg_packed
 
-        buf_h = lfg.tile_count_y << 8
-        buf_w = lfg.tile_count_x << 8
         h, w = lfg.height, lfg.width
+        # bucket the device buffer to 256-multiples of the true extent:
+        # edge LF groups stop paying full-buffer upload/compute/payload
+        buf_h = min(lfg.tile_count_y << 8, ((h + 255) >> 8) << 8)
+        buf_w = min(lfg.tile_count_x << 8, ((w + 255) >> 8) << 8)
         px = np.zeros((buf_h, buf_w, 3), dtype=np.asarray(pixels).dtype)
         px[:h, :w] = pixels[:h, :w]
         self.lfg = lfg
         self.preset = preset
+        self.stats = stats
         self.buf_h, self.buf_w = buf_h, buf_w
         bgcy, bgcx = buf_h >> 8, buf_w >> 8
         num_clusters = int(hf.cluster_map.max()) + 1
@@ -188,58 +249,120 @@ class _JaxDispatch:
         self.cm_dev = jnp.asarray(hf.cluster_map)
         self.px = jnp.asarray(px)
         if hf.use_native:
+            from .jxl.tokcode import TokenCodec
+
+            if codec is None:
+                codec = TokenCodec()
+            self._codec = codec
+            # snapshot the transport code at dispatch time: the walker
+            # must decode with exactly the table the device packed with,
+            # even though the codec adapts between dispatches
+            lens, codes, lut = codec.tables()
+            self.tok_lut = lut
             # dispatch is async (jax returns futures); transfers start at
             # drain time.  NOTE: Array.copy_to_host_async() is broken on
             # the axon remote-TPU backend (the later host read deadlocks),
             # so early-start transfers are deliberately not used here.
             self.out = encode_lfg_packed(self.px, h, w, self.presets_dev,
-                                         self.cm_dev, **self.kwargs)
+                                         self.cm_dev, jnp.asarray(lens),
+                                         jnp.asarray(codes), **self.kwargs)
         else:
             self.out = None
+            self._codec = None
+            self.tok_lut = None
         self._aux = None
         self._words = None
         self._pf_thread = None
 
+    def start_prefetch(self, sem) -> None:
+        """Run prefetch() on a daemon thread; `sem` serializes tunnel
+        access across in-flight handles."""
+        import threading
+
+        def run():
+            with sem:
+                self.prefetch()
+
+        t = threading.Thread(target=run, daemon=True)
+        self._pf_thread = t
+        t.start()
+
+    def join_prefetch(self) -> None:
+        if self._pf_thread is not None:
+            self._pf_thread.join()
+            self._pf_thread = None
+
+    def _fetch_once(self):
+        """One fetch attempt -> (aux, words_or_None)."""
+        from .ops.pipeline import packed_aux_len
+
+        A = packed_aux_len(self.buf_h, self.buf_w)
+        key = (self.buf_h, self.buf_w)
+        hint = self._HINTS.get(key, 1 << 18)
+        combined = self.out["combined"]
+        first = _fetch_prefix(combined, A + hint)
+        aux = np.ascontiguousarray(first[:A]).view(np.int32)
+        words = None
+        if bool(aux[0]):
+            need = packed_need_words(aux, self.buf_h, self.buf_w)
+            self._HINTS[key] = need
+            have = len(first) - A
+            if have >= need + 1:
+                words = first[A:A + need + 1]
+            else:
+                tail = _fetch_range(combined, A + have, need + 1 - have)
+                words = np.concatenate([first[A:], tail])
+            if self.stats is not None:
+                self.stats.count("fetched_words", A + max(need + 1, have))
+        return aux, words
+
     def prefetch(self) -> None:
         """Pull the combined payload to the host (run on a worker thread
-        so the next LF group's transfers overlap the current one's walk).
+        so transfers overlap the previous LF group's walk/serialize).
 
         One bucketed fetch sized by the previous LF group's stream
-        length; a ranged top-up only when the guess was short."""
+        length; a ranged top-up only when the guess was short.  Payload
+        checksums are verified; a corrupt transfer is refetched once,
+        then surrendered to the unpacked fallback."""
         try:
-            from .ops.pipeline import packed_aux_len
-
-            A = packed_aux_len(self.buf_h, self.buf_w)
-            key = (self.buf_h, self.buf_w)
-            hint = self._HINTS.get(key, 1 << 19)
-            combined = self.out["combined"]
-            first = _fetch_prefix(combined, A + hint)
-            aux = np.ascontiguousarray(first[:A]).view(np.int32)
-            self._aux = aux
-            if bool(aux[0]):
-                need = ((int(aux[1]) + 31) >> 5) + ((int(aux[2]) + 31) >> 5)
-                self._HINTS[key] = need
-                have = len(first) - A
-                if have >= need + 1:
-                    self._words = first[A:A + need + 1]
-                else:
-                    tail = _fetch_range(combined, A + have, need + 1 - have)
-                    self._words = np.concatenate([first[A:], tail])
-        except Exception:
+            for attempt in range(2):
+                aux, words = self._fetch_once()
+                if packed_verify(aux, words, self.buf_h, self.buf_w):
+                    self._aux = aux
+                    self._words = words
+                    if self._codec is not None:
+                        self._codec.update(aux[8:72])
+                    return
+                if self.stats is not None:
+                    self.stats.count("checksum_errors")
+                    self.stats.last_error = "packed payload checksum mismatch"
             self._aux = None
             self._words = None
+        except Exception as e:  # tunnel failures must not kill the encode
+            self._aux = None
+            self._words = None
+            if self.stats is not None:
+                self.stats.count("prefetch_errors")
+                self.stats.last_error = f"prefetch: {e!r}"
+            if not _JaxDispatch._warned_prefetch:
+                _JaxDispatch._warned_prefetch = True
+                import sys
+
+                print(f"hydrium-tpu: packed prefetch failed ({e!r}); "
+                      f"falling back to the unpacked device path",
+                      file=sys.stderr)
 
     def drain(self, hf, stats=None):
-        """Fetch, walk, and feed the HF stream; returns (lf_q, lf_res)."""
+        """Fetch, walk, and feed the HF stream; returns (lf_q, lf_res)
+        (either may be None; write_lf_group accepts any combination)."""
         import contextlib
 
+        stats = stats or self.stats
         stage = stats.stage if stats else (lambda _n: contextlib.nullcontext())
         lfg = self.lfg
         bgcx = self.buf_w >> 8
         G = (self.buf_h >> 8) * bgcx
-        N = G * 3072
         vh, vw = (lfg.height + 7) >> 3, (lfg.width + 7) >> 3
-        vbh, vbw = self.buf_h >> 3, self.buf_w >> 3
 
         if self.out is not None:
             if self._aux is None:
@@ -247,14 +370,17 @@ class _JaxDispatch:
                     self.prefetch()
             aux = self._aux
             if aux is not None and bool(aux[0]):
-                words = self._words
-                parsed = _parse_packed(aux, words, self.buf_h, self.buf_w,
-                                       lfg)
+                parsed = _parse_packed(aux, self._words, self.buf_h,
+                                       self.buf_w, lfg)
                 with stage("walk"):
                     _feed_hf_packed(hf, parsed, lfg, self.buf_w, self.buf_h,
-                                    self.preset)
-                return parsed["lf_q"], None
+                                    self.preset, self.tok_lut)
+                if stats is not None:
+                    stats.count("lfg_packed")
+                return None, parsed["lf_res"]
             # fall through to the unpacked path on overflow
+            if stats is not None:
+                stats.count("lfg_fallback")
 
         from .ops.pipeline import encode_lfg
 
@@ -276,11 +402,12 @@ class _JaxDispatch:
         return lf_q, lf_res
 
 
-def _lfg_jax(pixels, sample_fmt, linear_light, lfg, preset, hf):
+def _lfg_jax(pixels, sample_fmt, linear_light, lfg, preset, hf,
+             codec=None, stats=None):
     """JAX device backend: dispatch + immediate drain (the one-frame
     encoder path uses the dispatch/drain split directly for overlap)."""
     return _JaxDispatch(pixels, sample_fmt, linear_light, lfg, preset,
-                        hf).drain(hf)
+                        hf, codec=codec, stats=stats).drain(hf, stats)
 
 
 _BACKENDS = {
@@ -342,6 +469,14 @@ class Encoder:
         self._out = bytearray()
         self._wrote_header = False
         self._finished = False
+        self._codec = None
+        if backend == "jax":
+            import threading
+
+            from .jxl.tokcode import TokenCodec
+
+            self._codec = TokenCodec()
+            self._fetch_sem = threading.Semaphore(1)
 
         m = metadata
         from .jxl import native as _native
@@ -477,7 +612,8 @@ class Encoder:
         self.stats.pixels += lfg.height * lfg.width
         with self.stats.stage("pipeline+transfer"):
             lf_q, lf_res = _BACKENDS[self.backend](
-                pixels, fmt, m.linear_light, lfg, 0, hf)
+                pixels, fmt, m.linear_light, lfg, 0, hf,
+                codec=self._codec, stats=self.stats)
         self._emit_tiled_frame(lfg, last, lf_q, lf_res, hf)
 
     def send_tile_batch(self, entries,
@@ -514,7 +650,10 @@ class Encoder:
         kwargs = dict(buf_h=K_stack * th, buf_w=tw,
                       linear_light=m.linear_light, num_clusters=9,
                       sample_kind=fmt,
-                      use_pallas=os.environ.get("HYDRIUM_PALLAS", "0") == "1")
+                      use_pallas=os.environ.get("HYDRIUM_PALLAS", "0") == "1",
+                      # stacked tiles are independent frames: LF
+                      # prediction restarts at every tile boundary
+                      lf_seg_vb=th >> 3)
 
         lfgs = []
         for pixels, tx, ty in entries:
@@ -532,26 +671,28 @@ class Encoder:
                           dtype=np.asarray(entries[0][0]).dtype)
             for j, i in enumerate(chunk):
                 px[j * th:(j + 1) * th] = entries[i][0][:th, :tw]
+            lens, codes, lut = self._codec.tables()
             with self.stats.stage("dispatch"):
                 out = encode_lfg_packed(
                     jnp.asarray(px), K_stack * th, tw,
                     jnp.zeros(((K_stack * th >> 8) * gcx,), jnp.int32),
-                    cm_dev, **kwargs)
+                    cm_dev, jnp.asarray(lens), jnp.asarray(codes), **kwargs)
             stacked_geom = LFGroupGeometry(
                 x=0, y=0, width=tw, height=K_stack * th,
                 tile_count_x=gcx, tile_count_y=K_stack * th >> 8)
             from .ops.pipeline import packed_aux_len
 
             A = packed_aux_len(K_stack * th, tw)
-            hint = _JaxDispatch._HINTS.get((K_stack * th, tw), 1 << 19)
+            hint = _JaxDispatch._HINTS.get((K_stack * th, tw), 1 << 18)
             with self.stats.stage("fetch_aux"):
                 first = _fetch_prefix(out["combined"], A + hint)
             aux = np.ascontiguousarray(first[:A]).view(np.int32)
             if not bool(aux[0]):
+                self.stats.count("lfg_fallback")
                 for i in chunk:
                     payloads[i] = None   # overflow: per-tile fallback
                 continue
-            need = ((int(aux[1]) + 31) >> 5) + ((int(aux[2]) + 31) >> 5)
+            need = packed_need_words(aux, K_stack * th, tw)
             _JaxDispatch._HINTS[(K_stack * th, tw)] = need
             with self.stats.stage("fetch_streams"):
                 if len(first) - A >= need + 1:
@@ -560,20 +701,27 @@ class Encoder:
                     tail = _fetch_range(out["combined"], len(first),
                                         A + need + 1 - len(first))
                     words = np.concatenate([first[A:], tail])
+            if not packed_verify(aux, words, K_stack * th, tw):
+                self.stats.count("checksum_errors")
+                for i in chunk:
+                    payloads[i] = None   # corrupt transfer: per-tile path
+                continue
+            self._codec.update(aux[8:72])
             parsed = _parse_packed(aux, words, K_stack * th, tw,
                                    stacked_geom)
+            self.stats.count("lfg_packed")
             for j, i in enumerate(chunk):
                 g0 = j * gpt
                 g1 = g0 + gpt
                 lf0 = j * (th >> 3)
                 payloads[i] = {
-                    "lf_q": parsed["lf_q"][lf0:lf0 + (th >> 3)],
-                    "valid": parsed["valid"][g0 * 3072:g1 * 3072],
+                    "lf_res": parsed["lf_res"][lf0:lf0 + (th >> 3)],
                     "gs": parsed["gs"][g0:g1],
                     "tok_off": parsed["tok_off"][g0:g1],
                     "res_off": parsed["res_off"][g0:g1],
                     "tok_words": parsed["tok_words"],
                     "res_words": parsed["res_words"],
+                    "lut": lut,
                 }
 
         # serialize all tiles in entry order
@@ -588,10 +736,11 @@ class Encoder:
             last = self._tile_is_last(tx, ty, tw, th, -1)
             hf = HFStream(1)
             with self.stats.stage("walk"):
-                hf.add_lfg_packed(p["tok_words"], p["res_words"],
-                                  p["valid"], 0, p["tok_off"], p["res_off"],
-                                  p["gs"])
-            self._emit_tiled_frame(lfg, last, p["lf_q"], None, hf)
+                hf.add_lfg_packed(p["tok_words"], p["res_words"], p["lut"],
+                                  0, (th >> 8, tw >> 8),
+                                  (th >> 3, tw >> 3),
+                                  p["tok_off"], p["res_off"], p["gs"])
+            self._emit_tiled_frame(lfg, last, None, p["lf_res"], hf)
 
     # -- one-frame mode -------------------------------------------------
 
@@ -638,7 +787,7 @@ class Encoder:
 
     # keep up to this many LF groups in flight on the device so compute
     # and transfers overlap with host serialization
-    MAX_INFLIGHT = int(os.environ.get("HYDRIUM_INFLIGHT", "2"))
+    MAX_INFLIGHT = int(os.environ.get("HYDRIUM_INFLIGHT", "3"))
 
     def _process_lfg(self, pixels, lfid: int, fmt: str) -> None:
         lfg = self._lfgs[lfid]
@@ -649,33 +798,31 @@ class Encoder:
             with self.stats.stage("dispatch"):
                 handle = _JaxDispatch(pixels, fmt,
                                       self.metadata.linear_light, lfg,
-                                      preset, self._hf)
+                                      preset, self._hf, codec=self._codec,
+                                      stats=self.stats)
             self._pending.append(handle)
+            # start pulling this payload immediately on the fetch worker
+            # (a semaphore serializes tunnel access across handles), so
+            # device->host transfer of LFG i overlaps walk/serialize of
+            # LFG i-1 and dispatch of LFG i+1
+            if handle.out is not None:
+                handle.start_prefetch(self._fetch_sem)
             while len(self._pending) > self.MAX_INFLIGHT:
                 self._drain_one()
         else:
             with self.stats.stage("pipeline+transfer"):
                 lf_q, lf_res = _BACKENDS[self.backend](
                     pixels, fmt, self.metadata.linear_light, lfg, preset,
-                    self._hf)
+                    self._hf, codec=self._codec, stats=self.stats)
             self._write_lf(lf_q, lf_res)
             if self.streaming:
                 with self.stats.stage("ans_encode"):
                     self._hf.finish_lfg(preset)
 
     def _drain_one(self) -> None:
-        import threading
-
         handle = self._pending.pop(0)
-        if handle._pf_thread is not None:
-            with self.stats.stage("fetch_aux"):
-                handle._pf_thread.join()
-        if self._pending and self._pending[0].out is not None \
-                and self._pending[0]._pf_thread is None:
-            nxt = self._pending[0]
-            t = threading.Thread(target=nxt.prefetch, daemon=True)
-            nxt._pf_thread = t
-            t.start()
+        with self.stats.stage("fetch_wait"):
+            handle.join_prefetch()
         with self.stats.stage("pipeline+transfer"):
             lf_q, lf_res = handle.drain(self._hf, self.stats)
         self._write_lf(lf_q, lf_res)

@@ -239,14 +239,16 @@ def _send_ma_tree(bw: BitWriter, tree) -> None:
     stream.prefix_finalize(bw)
 
 
-def write_lf_group(bw, lf_q: np.ndarray,
+def write_lf_group(bw, lf_q: Optional[np.ndarray],
                    lf_res_packed: Optional[np.ndarray] = None) -> None:
     """One LFGroup section from quantized LF values.
 
-    lf_q: [vh, vw, 3] int32 (storage channel order X,Y,B);
-    lf_res_packed: optional precomputed pack_signed residuals (device
-    pipeline output), else derived here.  encoder.c:539-629."""
-    vh, vw, _ = lf_q.shape
+    lf_q: [vh, vw, 3] int32 (storage channel order X,Y,B), or None when
+    lf_res_packed -- a [vh, vw, 3] pack_signed residual array straight
+    from the device pipeline -- is given (the packed payload ships only
+    residuals; nothing else in the section needs the raw LF values).
+    encoder.c:539-629."""
+    vh, vw, _ = (lf_q if lf_q is not None else lf_res_packed).shape
     nb_blocks = vh * vw
 
     bw.write(0, 2)          # extra precision
@@ -347,21 +349,15 @@ class HFStream:
                             np.asarray(residues)[mask],
                             np.asarray(residue_bits)[mask]), preset)
 
-    def add_group_packed(self, tok_words, tok_bit_off, res_words,
-                         res_bit_off, valid_len, preset: int) -> None:
-        """Packed device payload (native plane only; encode_lfg_packed)."""
+    def add_lfg_packed(self, tok_words, res_words, tok_lut, preset, grid,
+                       extent, tok_bit_offs, res_bit_offs,
+                       sym_counts) -> None:
+        """Bulk packed walk of a whole LF group (payload v2, threaded in
+        C++; handles partial grids / phantom buffer groups itself)."""
         assert self.use_native
-        self._native.add_group_packed(tok_words, tok_bit_off, res_words,
-                                      res_bit_off, valid_len,
-                                      self.cluster_map, preset)
-
-    def add_lfg_packed(self, tok_words, res_words, valid_len, preset,
-                       tok_bit_offs, res_bit_offs, sym_counts) -> None:
-        """Bulk packed walk of a whole LF group (threaded in C++)."""
-        assert self.use_native
-        self._native.add_lfg_packed(tok_words, res_words, valid_len,
-                                    self.cluster_map, preset, tok_bit_offs,
-                                    res_bit_offs, sym_counts)
+        self._native.add_lfg_packed(tok_words, res_words, tok_lut,
+                                    self.cluster_map, preset, grid, extent,
+                                    tok_bit_offs, res_bit_offs, sym_counts)
 
     def encode_group_sections(self) -> None:
         """Encode every pending group's ANS section (encoder.c:931-952).
@@ -449,19 +445,17 @@ class StreamingHFStream:
             self._per_preset[preset] = hf
         return hf
 
-    def add_group_packed(self, tok_words, tok_bit_off, res_words,
-                         res_bit_off, valid_len, preset: int) -> None:
-        self._preset_hf(preset).add_group_packed(
-            tok_words, tok_bit_off, res_words, res_bit_off, valid_len,
-            self.cluster_map, preset)
-        self._pending_groups[preset] += 1
-
-    def add_lfg_packed(self, tok_words, res_words, valid_len, preset,
-                       tok_bit_offs, res_bit_offs, sym_counts) -> None:
+    def add_lfg_packed(self, tok_words, res_words, tok_lut, preset, grid,
+                       extent, tok_bit_offs, res_bit_offs,
+                       sym_counts) -> None:
         self._preset_hf(preset).add_lfg_packed(
-            tok_words, res_words, valid_len, self.cluster_map, preset,
-            tok_bit_offs, res_bit_offs, sym_counts)
-        self._pending_groups[preset] += len(sym_counts)
+            tok_words, res_words, tok_lut, self.cluster_map, preset, grid,
+            extent, tok_bit_offs, res_bit_offs, sym_counts)
+        # only real (non-phantom) buffer groups produce HF sections
+        vh, vw = extent
+        gcy, gcx = grid
+        real = min((vh + 31) >> 5, gcy) * min((vw + 31) >> 5, gcx)
+        self._pending_groups[preset] += real
 
     def finish_lfg(self, preset: int) -> None:
         """Signal that one LF group of `preset` has been fully added."""

@@ -75,13 +75,12 @@ def _load():
         lib.hyd_hf_free.argtypes = [P]
         lib.hyd_hf_add_group.argtypes = [P] + [ctypes.c_void_p] * 5 + [
             ctypes.c_long, ctypes.c_uint32]
-        lib.hyd_hf_add_group_packed.argtypes = [
-            P, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
-            ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32]
+        lib.hyd_hf_add_lfg_packed.restype = ctypes.c_int
         lib.hyd_hf_add_lfg_packed.argtypes = [
             P, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_long,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int]
         lib.hyd_hf_prepare.restype = ctypes.c_int
         lib.hyd_hf_prepare.argtypes = [P]
         lib.hyd_hf_encode_all.restype = ctypes.c_int
@@ -283,42 +282,35 @@ class NativeHF:
                                    r.ctypes.data, b.ctypes.data,
                                    v.ctypes.data, n_blocks, preset)
 
-    def add_group_packed(self, tok_words: np.ndarray, tok_bit_off: int,
-                         res_words: np.ndarray, res_bit_off: int,
-                         valid_len: np.ndarray, cluster_map: np.ndarray,
-                         preset: int) -> None:
-        """Packed device payload: 6-bit tokens + residue bitstream; the
-        C++ walker reconstructs contexts (see encode_lfg_packed)."""
-        t = np.ascontiguousarray(tok_words, np.uint32)
-        r = np.ascontiguousarray(res_words, np.uint32)
-        v = np.ascontiguousarray(valid_len, np.uint8)
-        cm = np.ascontiguousarray(cluster_map, np.uint8)
-        self._keepalive = [t, r, v, cm]
-        self._lib.hyd_hf_add_group_packed(
-            self._h, t.ctypes.data, tok_bit_off, r.ctypes.data, res_bit_off,
-            v.ctypes.data, cm.ctypes.data, preset)
-
     def add_lfg_packed(self, tok_words: np.ndarray, res_words: np.ndarray,
-                       valid_len: np.ndarray, cluster_map: np.ndarray,
-                       preset: int, tok_bit_offs: np.ndarray,
-                       res_bit_offs: np.ndarray, sym_counts: np.ndarray,
-                       n_threads: int = 0) -> None:
-        """Walk every group of one LF group in parallel (threads write
-        disjoint symbol ranges; counts come from the device aux)."""
+                       tok_lut: np.ndarray, cluster_map: np.ndarray,
+                       preset: int, grid, extent,
+                       tok_bit_offs: np.ndarray, res_bit_offs: np.ndarray,
+                       sym_counts: np.ndarray, n_threads: int = 0) -> None:
+        """Walk every group of one LF group in parallel (payload format
+        v2; threads write disjoint symbol ranges sized by the device's
+        per-group counts).  grid = (gcy, gcx) buffer group grid; extent
+        = (vh, vw) true varblock extent.  tok_lut: u16[4096] transport-
+        Huffman decode LUT (jxl/tokcode.py)."""
         t = np.ascontiguousarray(tok_words, np.uint32)
         r = np.ascontiguousarray(res_words, np.uint32)
-        v = np.ascontiguousarray(valid_len, np.uint8)
+        lut = np.ascontiguousarray(tok_lut, np.uint16)
         cm = np.ascontiguousarray(cluster_map, np.uint8)
         to = np.ascontiguousarray(tok_bit_offs, np.int64)
         ro = np.ascontiguousarray(res_bit_offs, np.int64)
         sc = np.ascontiguousarray(sym_counts, np.int64)
-        n_groups = len(sc)
+        gcy, gcx = grid
+        vh, vw = extent
+        assert len(sc) == gcy * gcx
         if n_threads <= 0:
             n_threads = min(os.cpu_count() or 1, 8)
-        self._lib.hyd_hf_add_lfg_packed(
-            self._h, t.ctypes.data, r.ctypes.data, v.ctypes.data,
-            cm.ctypes.data, preset, n_groups, to.ctypes.data, ro.ctypes.data,
-            sc.ctypes.data, n_threads)
+        ret = self._lib.hyd_hf_add_lfg_packed(
+            self._h, t.ctypes.data, r.ctypes.data, lut.ctypes.data,
+            cm.ctypes.data, preset, gcy, gcx, vh, vw, to.ctypes.data,
+            ro.ctypes.data, sc.ctypes.data, n_threads)
+        if ret != 0:
+            raise RuntimeError(
+                "packed walk failed (symbol-count mismatch / corrupt stream)")
 
     def prepare(self) -> None:
         if self._lib.hyd_hf_prepare(self._h) != 0:

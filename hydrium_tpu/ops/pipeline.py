@@ -113,16 +113,24 @@ def quantize_lf(dc: jnp.ndarray) -> jnp.ndarray:
     return (dc * jnp.asarray(tables.LF_SHIFT)).astype(jnp.int32)
 
 
-def lf_residuals(lf_q: jnp.ndarray) -> jnp.ndarray:
+def lf_residuals(lf_q: jnp.ndarray, seg_vb: int = 0) -> jnp.ndarray:
     """Clamped-gradient prediction residuals (encoder.c:583-591).
-    [vh, vw, 3] int32 -> packed uint32 residual symbols."""
+    [vh, vw, 3] int32 -> packed uint32 residual symbols.
+
+    seg_vb > 0 restarts prediction every seg_vb varblock rows: the
+    tiled-mode batch path STACKS independent tiles vertically into one
+    buffer, and each tile-frame's LF prediction must not see the tile
+    above it."""
     v = lf_q
     left = jnp.pad(v[:, :-1], ((0, 0), (1, 0), (0, 0)))
     up = jnp.pad(v[:-1], ((1, 0), (0, 0), (0, 0)))
     upleft = jnp.pad(v[:-1, :-1], ((1, 0), (1, 0), (0, 0)))
     vh, vw, _ = v.shape
+    rows = jnp.arange(vh)
+    if seg_vb > 0:
+        rows = rows % seg_vb
     has_x = jnp.arange(vw)[None, :, None] > 0
-    has_y = jnp.arange(vh)[:, None, None] > 0
+    has_y = rows[:, None, None] > 0
     w = jnp.where(has_x, left, jnp.where(has_y, up, 0))
     n = jnp.where(has_y, up, w)
     nw = jnp.where(has_x & has_y, upleft, w)
@@ -212,12 +220,13 @@ def tokenize_flat(q: jnp.ndarray, nz_flat: jnp.ndarray, pred_flat: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("buf_h", "buf_w", "linear_light",
                                    "num_clusters", "sample_kind",
-                                   "use_pallas"))
+                                   "use_pallas", "lf_seg_vb"))
 def encode_lfg(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
                cluster_map: jnp.ndarray, *, buf_h: int, buf_w: int,
                linear_light: bool, num_clusters: int,
                sample_kind: str,
-               use_pallas: bool = False) -> Dict[str, jnp.ndarray]:
+               use_pallas: bool = False,
+               lf_seg_vb: int = 0) -> Dict[str, jnp.ndarray]:
     """Full device pipeline for one LF group (or one tile-frame).
 
     pixels: [buf_h, buf_w, 3] padded buffer; `height`/`width` are the true
@@ -256,7 +265,7 @@ def encode_lfg(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
         # dc back to the [vbh, vbw, 3] varblock grid
         lf_q = dc_groups.reshape(gcy, gcx, 32, 32, 3).transpose(
             0, 2, 1, 3, 4).reshape(vbh, vbw, 3)
-        lf_res = lf_residuals(lf_q)
+        lf_res = lf_residuals(lf_q, lf_seg_vb)
     else:
         if sample_kind == "uint8":
             rgb = pixels.astype(jnp.float32) * np.float32(1.0 / 255.0)
@@ -272,7 +281,7 @@ def encode_lfg(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
 
         coeffs = forward_dct(xyb)              # [vbh, vbw, 8, 8, 3]
         lf_q = quantize_lf(coeffs[:, :, 0, 0, :])
-        lf_res = lf_residuals(lf_q)
+        lf_res = lf_residuals(lf_q, lf_seg_vb)
 
         # fused zig-zag + emission-channel reorder: -> [vbh, vbw, 3, 64]
         zz = coeffs.reshape(vbh, vbw, 192)[:, :, jnp.asarray(_ZZ_GATHER)]
@@ -321,8 +330,40 @@ def encode_lfg(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# packed-payload variant: near-entropy device->host transfer
+# packed-payload variant: near-entropy device->host transfer (format v2)
 # ---------------------------------------------------------------------------
+#
+# Payload layout (u32 words), shared with encoder._parse_packed,
+# parallel/driver.py and the C++ walker (cpp/serializer.cc) -- the four
+# must change together:
+#
+#   aux (fixed A = 8 + 64 + 3*G words):
+#     [0]        ok flag (0 -> caller falls back to the unpacked path)
+#     [1]        total token bits
+#     [2]        total residue bits
+#     [3]        LF residual field width W (bits per value, 0..32)
+#     [4]        checksum (u32 wrap-sum) of aux[8:A]
+#     [5]        checksum of the LF word section
+#     [6]        checksum of the token word section
+#     [7]        checksum of the residue word section
+#                (the dev rig's remote-TPU tunnel has shown transient
+#                 data corruption; the host verifies, refetches once,
+#                 then falls back to the unpacked path)
+#     [8:72]     token histogram (64 bins; feeds the NEXT dispatch's
+#                transport code, jxl/tokcode.py)
+#     [..+G]     per-group symbol counts
+#     [..+G]     per-group residue bit counts
+#     [..+G]     per-group token bit counts
+#   then, at dynamic word offsets:
+#     LF residuals, pack_signed at fixed width W over the full buffer
+#     varblock grid; Huffman-coded tokens (transport code; <= 12
+#     bits/token); raw residue bits.
+#
+# Tokens are transport-Huffman-coded with a host-supplied 64-entry code
+# (near-entropy, ~2-3x smaller than the former flat 6-bit fields); the
+# valid-length array of format v1 is gone entirely -- the walker
+# reconstructs each block-channel's symbol count from the decoded
+# nonzero count, exactly as a JXL decoder does (encoder.c:689-750).
 
 
 def _bitpack(values: jnp.ndarray, nbits: jnp.ndarray,
@@ -350,27 +391,27 @@ def _bitpack(values: jnp.ndarray, nbits: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("buf_h", "buf_w", "linear_light",
                                    "num_clusters", "sample_kind",
-                                   "use_pallas"))
+                                   "use_pallas", "lf_seg_vb"))
 def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
-                      cluster_map: jnp.ndarray, *, buf_h: int, buf_w: int,
+                      cluster_map: jnp.ndarray, tok_len: jnp.ndarray,
+                      tok_code: jnp.ndarray, *, buf_h: int, buf_w: int,
                       linear_light: bool, num_clusters: int,
                       sample_kind: str,
-                      use_pallas: bool = False) -> Dict[str, jnp.ndarray]:
-    """encode_lfg + on-device stream packing to minimize PCIe/host traffic.
+                      use_pallas: bool = False,
+                      lf_seg_vb: int = 0) -> Dict[str, jnp.ndarray]:
+    """encode_lfg + on-device stream packing to minimize interconnect
+    traffic (payload format v2, see module comment above).
 
-    Instead of padded [N, 64] token/residue arrays (~8 B/slot), ships:
-      - tok6:      6-bit-packed valid tokens, in emission order
-      - resbits:   concatenated raw residue bits
-      - valid_len: u8 per block-channel
-      - counts:    per-group symbol counts + residue bit counts
-      - ok:        0 when any token exceeded 6 bits (caller must fall back)
-    The host C++ walker reconstructs contexts/clusters from the token
-    stream alone (it mirrors encoder.c:689-750), so clusters and
-    residue_bits never cross the interconnect."""
+    tok_len[64]/tok_code[64]: transport Huffman code for the token
+    stream (jxl/tokcode.py), LSB-first codewords, lengths 1..12.  The
+    ok flag drops (-> unpacked fallback) only when a token exceeds the
+    64-symbol transport alphabet or the residue stream overflows its
+    24-bit/slot budget; LF residuals can no longer overflow (their
+    field width is dynamic)."""
     out = encode_lfg(pixels, height, width, presets, cluster_map,
                      buf_h=buf_h, buf_w=buf_w, linear_light=linear_light,
                      num_clusters=num_clusters, sample_kind=sample_kind,
-                     use_pallas=use_pallas)
+                     use_pallas=use_pallas, lf_seg_vb=lf_seg_vb)
     tokens = out["tokens"]            # [N, 64] u16
     residues = out["residues"]        # [N, 64] u32
     residue_bits = out["residue_bits"]
@@ -382,67 +423,96 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
     valid = (jnp.arange(64)[None, :] < valid_len[:, None])
     tok_ok = jnp.all(jnp.where(valid, tokens, 0) < 64)
 
-    t_flat = jnp.where(valid, tokens, 0).astype(jnp.uint32).reshape(M)
-    t_bits = jnp.where(valid, 6, 0).astype(jnp.int32).reshape(M)
+    t_idx = jnp.where(valid, jnp.minimum(tokens, 63), 0).astype(
+        jnp.int32).reshape(M)
+    mask_i32 = valid.astype(jnp.int32).reshape(M)
+    t_flat = jnp.where(mask_i32 > 0, tok_code[t_idx].astype(jnp.uint32), 0)
+    t_bits = tok_len[t_idx].astype(jnp.int32) * mask_i32
     r_flat = jnp.where(valid, residues, 0).reshape(M)
     r_bits = jnp.where(valid, residue_bits.astype(jnp.int32), 0).reshape(M)
 
-    tok_cap_words = (M * 6 + 31) // 32
+    # exact token histogram (of *clamped* indices; exact whenever ok --
+    # max hybrid-uint token for 32-bit values is 71, and ok requires <64)
+    hist64 = jnp.zeros((64,), jnp.int32).at[t_idx].add(mask_i32)
+
+    tok_cap_words = (M * 12 + 31) // 32      # MAX_LEN = 12 (tokcode.py)
     res_cap_words = (M * 24 + 31) // 32
     tok_words, tok_total = _bitpack(t_flat, t_bits, tok_cap_words)
     res_words, res_total = _bitpack(r_flat, r_bits, res_cap_words)
     tok_ok = tok_ok & (res_total <= res_cap_words * 32)
 
     per_group_syms = valid_len.reshape(G, -1).sum(axis=1).astype(jnp.int32)
-    per_group_rbits = (r_bits.reshape(G, -1).sum(axis=1)).astype(jnp.int32)
+    per_group_rbits = r_bits.reshape(G, -1).sum(axis=1).astype(jnp.int32)
+    per_group_tbits = t_bits.reshape(G, -1).sum(axis=1).astype(jnp.int32)
 
-    # One aux array + one combined stream buffer: the remote-TPU tunnel
-    # charges high per-transfer latency, so the host does exactly two
-    # device->host fetches per LF group (aux, then a bucketed prefix of
-    # the combined streams).
-    valid_u8 = valid_len.astype(jnp.uint8)
-    pad = (-valid_u8.size) % 4
-    valid_i32 = jax.lax.bitcast_convert_type(
-        jnp.pad(valid_u8, (0, pad)).reshape(-1, 4), jnp.int32).reshape(-1)
-    # LF values fit i16 for in-gamut inputs (|dc*shift| < 8k); pack two
-    # per word, with the ok flag guarding the rare overflow
-    lf_flat = out["lf_q"].reshape(-1)
-    lf_ok = jnp.all((lf_flat >= -32768) & (lf_flat <= 32767))
-    tok_ok = tok_ok & lf_ok
-    lf_pad = (-lf_flat.size) % 2
-    lf_i16 = jnp.pad(lf_flat, (0, lf_pad)).astype(jnp.int16)
-    lf_packed = jax.lax.bitcast_convert_type(
-        lf_i16.reshape(-1, 2), jnp.int32).reshape(-1)
+    # LF residuals at a dynamic fixed width W = bits of the largest
+    # pack_signed residual; replaces shipping raw i16 LF values (v1) and
+    # removes the LF-overflow fallback cause entirely.
+    lf_res = out["lf_res"].reshape(-1).astype(jnp.uint32)
+    lf_max = jnp.max(lf_res)
+    lf_w = jnp.where(lf_max == 0, 0,
+                     32 - jax.lax.clz(lf_max.astype(jnp.int32))).astype(
+        jnp.int32)
+    # clz of values >= 2^31 would go negative through int32; residuals
+    # are bounded well below that (LF shifts * unit-range XYB), but clamp
+    # for safety
+    lf_w = jnp.clip(lf_w, 0, 32)
+    lf_n = lf_res.shape[0]
+    lf_cap_words = lf_n              # 32 bits/value worst case
+    lf_words, lf_total = _bitpack(
+        lf_res, jnp.full((lf_n,), 1, jnp.int32) * lf_w, lf_cap_words)
+
+    tail = jnp.concatenate([hist64, per_group_syms, per_group_rbits,
+                            per_group_tbits])
+    _i32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    aux_ck = _i32(jnp.sum(tail.astype(jnp.uint32)))
+    lf_ck = _i32(jnp.sum(lf_words))
+    tok_ck = _i32(jnp.sum(tok_words))
+    res_ck = _i32(jnp.sum(res_words))
     aux = jnp.concatenate([
-        jnp.stack([tok_ok.astype(jnp.int32), tok_total, res_total]),
-        per_group_syms, per_group_rbits, valid_i32, lf_packed,
+        jnp.stack([tok_ok.astype(jnp.int32), tok_total, res_total, lf_w,
+                   aux_ck, lf_ck, tok_ck, res_ck]),
+        tail,
     ])
+    lf_used = (lf_total + 31) >> 5
     tok_used = (tok_total + 31) >> 5
-    # ONE combined buffer: [aux (fixed size) | token words | residue
-    # words], so the host usually needs a single round-trip per LF group
-    # (it guesses the stream length from the previous LF group and tops
-    # up with a ranged fetch only when the guess was short).
+    # ONE combined buffer: [aux | LF words | token words | residue words]
+    # so the host usually needs a single round-trip per LF group (it
+    # sizes the fetch from the previous LF group's stream length and
+    # tops up with a ranged fetch only when the guess was short).
     A = aux.shape[0]
-    combined = jnp.zeros((A + tok_cap_words + res_cap_words,), jnp.uint32)
+    combined = jnp.zeros((A + lf_cap_words + tok_cap_words + res_cap_words,),
+                         jnp.uint32)
     combined = jax.lax.dynamic_update_slice(
         combined, jax.lax.bitcast_convert_type(aux, jnp.uint32), (0,))
-    combined = jax.lax.dynamic_update_slice(combined, tok_words, (A,))
+    combined = jax.lax.dynamic_update_slice(combined, lf_words, (A,))
+    combined = jax.lax.dynamic_update_slice(combined, tok_words,
+                                            (A + lf_used,))
     combined = jax.lax.dynamic_update_slice(combined, res_words,
-                                            (A + tok_used,))
+                                            (A + lf_used + tok_used,))
 
-    # NOTE: no "hist" here -- the native walker recounts frequencies
-    # host-side, and XLA dead-code-eliminates the unpacked path's
-    # histogram scatter when its output is unused.
+    # NOTE: no per-cluster "hist" here -- the native walker recounts
+    # exact frequencies host-side, and XLA dead-code-eliminates the
+    # unpacked path's histogram scatter when its output is unused.
     return {"combined": combined}
 
 
+# aux layout constants (format v2); see the module comment above
+AUX_SCALARS = 8
+AUX_HIST = slice(8, 72)
+
+
 def packed_aux_len(buf_h: int, buf_w: int) -> int:
-    """Length (in 32-bit words) of the aux prefix of the combined
-    packed payload for a given buffer shape."""
+    """Length (in 32-bit words) of the fixed aux prefix of the combined
+    packed payload for a given buffer shape (format v2)."""
     G = (buf_h >> 8) * (buf_w >> 8)
-    N = G * 3072
-    lf = (buf_h >> 3) * (buf_w >> 3) * 3
-    return 3 + 2 * G + (N + 3) // 4 + (lf + 1) // 2
+    return AUX_SCALARS + 64 + 3 * G
+
+
+def packed_lf_len(buf_h: int, buf_w: int, lf_w: int) -> int:
+    """Word count of the LF residual section for field width lf_w."""
+    lf_n = (buf_h >> 3) * (buf_w >> 3) * 3
+    return (lf_n * lf_w + 31) >> 5
 
 
 # NOTE: an earlier vmapped batch variant of the packed pipeline

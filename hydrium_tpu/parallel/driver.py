@@ -60,6 +60,12 @@ def encode_image_sharded(image: np.ndarray, mesh=None,
     num_clusters = int(hf.cluster_map.max()) + 1
     cm_dev = jnp.asarray(hf.cluster_map)
 
+    from ..jxl.tokcode import TokenCodec
+
+    codec = TokenCodec()
+    lens, codes, tok_lut = codec.tables()
+    lens_dev, codes_dev = jnp.asarray(lens), jnp.asarray(codes)
+
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P("groups"), P("groups"), P("groups"), P("groups")),
              out_specs=P("groups"))
@@ -67,6 +73,7 @@ def encode_image_sharded(image: np.ndarray, mesh=None,
         def one(px, hh, ww, pr):
             return pipeline.encode_lfg_packed(
                 px, hh, ww, jnp.full((64,), pr, jnp.int32), cm_dev,
+                lens_dev, codes_dev,
                 buf_h=2048, buf_w=2048, linear_light=linear_light,
                 num_clusters=num_clusters, sample_kind=sample_fmt)
         return jax.vmap(one)(pixels, heights, widths, presets)
@@ -101,43 +108,26 @@ def encode_image_sharded(image: np.ndarray, mesh=None,
         # single-device path does) is the multi-host optimization.
         out = {k: np.asarray(v) for k, v in out.items()}
 
+        from ..encoder import _parse_packed
+
         from ..ops.pipeline import packed_aux_len
 
         A = packed_aux_len(2048, 2048)
-        G = 64
-        N = G * 3072
-        nv = N // 4
         for j, lfid in enumerate(ids):
             g = lfgs[lfid]
             combined = out["combined"][j]
             aux = np.ascontiguousarray(combined[:A]).view(np.int32)
             if not bool(aux[0]):
                 raise RuntimeError("packed-stream overflow; use Encoder")
-            tok_total, res_total = int(aux[1]), int(aux[2])
-            gs = aux[3:3 + G].astype(np.int64)
-            gr = aux[3 + G:3 + 2 * G].astype(np.int64)
-            valid = np.ascontiguousarray(
-                aux[3 + 2 * G:3 + 2 * G + nv]).view(np.uint8)[:N]
-            vh, vw = (g.height + 7) >> 3, (g.width + 7) >> 3
-            lf_q = np.ascontiguousarray(
-                aux[3 + 2 * G + nv:]).view(np.int16)[:256 * 256 * 3].astype(
-                np.int32).reshape(256, 256, 3)[:vh, :vw]
-            tok_used = (tok_total + 31) >> 5
-            words = combined[A:]
-            tok_words = words[:tok_used + 1]
-            res_words = np.ascontiguousarray(words[tok_used:])
-            tok_off = 6 * (np.cumsum(gs) - gs)
-            res_off = np.cumsum(gr) - gr
-            write_lf_group(asm.working, lf_q)
+            parsed = _parse_packed(aux, combined[A:], 2048, 2048, g)
+            write_lf_group(asm.working, None, parsed["lf_res"])
             asm.end_section()
             preset = lfid // geo.lfg_per_preset
-            for gy in range(g.group_count_y):
-                for gx in range(g.group_count_x):
-                    gi = gy * 8 + gx
-                    hf.add_group_packed(
-                        tok_words, int(tok_off[gi]), res_words,
-                        int(res_off[gi]),
-                        valid[gi * 3072:(gi + 1) * 3072], preset)
+            hf.add_lfg_packed(parsed["tok_words"], parsed["res_words"],
+                              tok_lut, preset, (8, 8),
+                              (g.varblock_height, g.varblock_width),
+                              parsed["tok_off"], parsed["res_off"],
+                              parsed["gs"])
 
     hf.encode_group_sections()
     hf.write_hf_global(asm.working, geo.num_frame_groups)

@@ -20,6 +20,8 @@ class EncodeStats:
     hf_symbols: int = 0
     stage_seconds: Dict[str, float] = field(default_factory=lambda: defaultdict(float))
     section_sizes: List[int] = field(default_factory=list)
+    counters: Dict[str, int] = field(default_factory=lambda: defaultdict(int))
+    last_error: Optional[str] = None
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -28,6 +30,9 @@ class EncodeStats:
             yield
         finally:
             self.stage_seconds[name] += time.perf_counter() - t0
+
+    def count(self, name: str, n: int = 1) -> None:
+        self.counters[name] += n
 
     @property
     def mpixels_per_sec(self) -> float:
@@ -41,6 +46,10 @@ class EncodeStats:
         for k, v in sorted(self.stage_seconds.items(),
                            key=lambda kv: -kv[1]):
             lines.append(f"  {k:<24} {v*1e3:9.1f} ms")
+        for k, v in sorted(self.counters.items()):
+            lines.append(f"  {k:<24} {v}")
+        if self.last_error:
+            lines.append(f"  last_error: {self.last_error}")
         return "\n".join(lines)
 
 
