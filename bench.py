@@ -33,8 +33,10 @@ def make_4k_noisy(seed=0):
 
 def parent(iters: int) -> int:
     """The axon tunnel wedges ~half of long-lived TPU client processes on
-    a dropped RPC (see README perf notes); run the measurement in child
-    processes with a timeout and keep the best completed attempt."""
+    a dropped RPC (see README perf notes); run the measurement in a child
+    process with a timeout, retrying failed/timed-out attempts, and
+    report the first completed child's result (the child itself keeps
+    its best iteration)."""
     import subprocess
 
     best = None
@@ -52,9 +54,7 @@ def parent(iters: int) -> int:
         line = next((l for l in r.stdout.splitlines()
                      if l.startswith("{")), None)
         if r.returncode == 0 and line:
-            cand = json.loads(line)
-            if best is None or cand["value"] > best["value"]:
-                best = cand
+            best = json.loads(line)
             break
         print(f"bench: attempt {attempt} failed rc={r.returncode}",
               file=sys.stderr, flush=True)
@@ -77,9 +77,11 @@ def main():
     img = make_4k_noisy()
     pixels = img.shape[0] * img.shape[1]
 
-    # warmup: compiles the 2048-buffer executables and the transfer path
+    # warmup: one full-image encode compiles all four bucketed buffer
+    # shapes (2048x2048, 2048x1792, 256x2048, 256x1792) and the
+    # transfer-path slicers (cached persistently thereafter)
     print("bench: warmup/compile...", file=sys.stderr, flush=True)
-    encode_image(img[:2048, :2048], tile_size_shift=-1, backend="jax")
+    encode_image(img, tile_size_shift=-1, backend="jax")
 
     best = float("inf")
     data = b""

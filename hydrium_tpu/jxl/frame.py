@@ -515,23 +515,36 @@ class StreamingHFStream:
                 yield sec
 
     def write_hf_global(self, bw, num_frame_groups: int) -> None:
-        from .entropy import write_cluster_map, write_ans_frequencies
-        from .entropy import write_hybrid_uint_config
+        write_hf_global_fixed_las(bw, self.cluster_map, self._num_clusters,
+                                  self.num_presets, self._freqs,
+                                  num_frame_groups, self.FIXED_LAS)
 
-        bw.write_bool(True)
-        bw.write(self.num_presets - 1, cllog2(num_frame_groups))
-        bw.write(2, 2)
-        # ANS stream header with the fixed las
-        bw.write_bool(False)  # lz77
-        write_cluster_map(bw, self.cluster_map, len(self.cluster_map),
-                          self._num_clusters)
-        bw.write_bool(False)  # use_prefix_codes
-        bw.write(self.FIXED_LAS - 5, 2)
-        for _ in range(self._num_clusters):
-            write_hybrid_uint_config(bw, (4, 1, 0), self.FIXED_LAS)
-        for c in range(self._num_clusters):
-            f = self._freqs[c]
-            if f is None or len(f) == 0:
-                write_ans_frequencies(bw, [], 0)
-            else:
-                write_ans_frequencies(bw, [int(v) for v in f], len(f))
+
+def write_hf_global_fixed_las(bw, cluster_map, num_clusters: int,
+                              num_presets: int, freqs,
+                              num_frame_groups: int, fixed_las: int) -> None:
+    """HFGlobal + shared ANS histogram header with a fixed
+    log_alphabet_size (the streaming / multi-host scheme -- sections can
+    be encoded before the whole frame's alphabet is known because the
+    las never changes; see StreamingHFStream).  `freqs[c]` is the
+    normalized frequency table of cluster c, or None/empty when the
+    cluster saw no symbols."""
+    from .entropy import write_cluster_map, write_ans_frequencies
+    from .entropy import write_hybrid_uint_config
+
+    bw.write_bool(True)
+    bw.write(num_presets - 1, cllog2(num_frame_groups))
+    bw.write(2, 2)
+    # ANS stream header with the fixed las
+    bw.write_bool(False)  # lz77
+    write_cluster_map(bw, cluster_map, len(cluster_map), num_clusters)
+    bw.write_bool(False)  # use_prefix_codes
+    bw.write(fixed_las - 5, 2)
+    for _ in range(num_clusters):
+        write_hybrid_uint_config(bw, (4, 1, 0), fixed_las)
+    for c in range(num_clusters):
+        f = freqs[c]
+        if f is None or len(f) == 0:
+            write_ans_frequencies(bw, [], 0)
+        else:
+            write_ans_frequencies(bw, [int(v) for v in f], len(f))

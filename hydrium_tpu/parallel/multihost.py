@@ -73,22 +73,150 @@ def gather_bytes_to_host0(payload: bytes) -> Optional[list]:
             for i in range(n)]
 
 
-def encode_image_multihost(image_shard: np.ndarray, shard_lfg_ids: Sequence[int],
-                           full_width: int, full_height: int) -> Optional[bytes]:
-    """Sketch of the N-host flow (exercised degenerately single-process;
-    real pods need jax.distributed.initialize first):
+def _assign_presets(num_presets: int, n_proc: int, pid: int) -> range:
+    """Contiguous preset partition: every histogram preset (and hence
+    every LF group of that preset) lives wholly on one process, so HF
+    sections and cluster frequencies never need cross-host symbol
+    exchange -- only the final byte gather (SURVEY.md section 5: presets
+    align with shard boundaries)."""
+    per = (num_presets + n_proc - 1) // n_proc
+    return range(min(pid * per, num_presets),
+                 min((pid + 1) * per, num_presets))
 
-    1. every host runs the device pipeline on its own LF groups
-       (parallel.driver-style, packed payloads);
-    2. per-preset histograms need no exchange when presets align with
-       host boundaries (lfg_per_preset LFGs per preset; SURVEY section 5),
-       otherwise psum them over the global mesh;
-    3. each host serializes its LF + HF group sections locally;
-    4. process 0 gathers the section payloads (gather_bytes_to_host0),
-       assembles headers/TOC in raster order, and emits the .jxl.
 
-    Single-process callers should use parallel.driver.encode_image_sharded
-    or the plain Encoder instead."""
-    raise NotImplementedError(
-        "multi-host assembly lands once a real multi-process pod is "
-        "available; the single-host sharded path is parallel.driver")
+def encode_image_multihost(image: np.ndarray, *, linear_light: bool = False,
+                           sample_fmt: str = "uint8",
+                           spool_dir: Optional[str] = None,
+                           attempts: int = 3) -> Optional[bytes]:
+    """One-frame encode with LF groups sharded across jax processes.
+
+    Every process passes the full-image array (or a memory-mapped view;
+    only its own LF groups' pixels are read) and runs the packed
+    single-device pipeline (encoder._JaxDispatch: per-shard prefix
+    fetches, transport-Huffman tokens) on its preset-aligned slice of LF
+    groups, serializing LF + HF sections locally with the fixed-las
+    streaming scheme (jxl/frame.py StreamingHFStream).  Process 0
+    gathers sections + cluster frequencies over DCN
+    (gather_bytes_to_host0) and assembles headers/TOC; other processes
+    return None.  Each LF group step is wrapped in `with_retry` --
+    groups are idempotent, so transient device/tunnel failures recompute
+    (transient failures surface during dispatch/transfer, before any
+    symbols are fed to the local HF stream).
+
+    Output is byte-identical to the single-process
+    `Encoder(meta, backend="jax", streaming=True)` for the same image
+    (same math, same fixed-las sections, raster arrival; verified by
+    tests/test_multihost.py with a real 2-process jax.distributed run).
+    The reference analog is the one-frame out-of-order section
+    accumulation this generalizes (encoder.c:241-268, internal.h:56-67)."""
+    import pickle
+
+    import jax
+
+    from ..config import ImageMetadata
+    from ..encoder import _FrameAssembler, _JaxDispatch
+    from ..jxl import headers, native
+    from ..jxl.frame import (FrameGeometry, LFGroupGeometry,
+                             StreamingHFStream, new_bitwriter,
+                             write_frame_header, write_hf_global_fixed_las,
+                             write_lf_global, write_lf_group)
+    from ..jxl.entropy import cllog2
+    from ..jxl.tokcode import TokenCodec
+
+    assert native.available(), "multi-host encode needs the native plane"
+    n_proc = jax.process_count()
+    pid = jax.process_index()
+    h, w = image.shape[:2]
+    meta = ImageMetadata(width=w, height=h, linear_light=linear_light)
+    lfgs = [
+        LFGroupGeometry(x=x, y=y,
+                        width=min(2048, w - x * 2048),
+                        height=min(2048, h - y * 2048),
+                        tile_count_x=8, tile_count_y=8)
+        for y in range(meta.lfg_count_y) for x in range(meta.lfg_count_x)
+    ]
+    n = len(lfgs)
+    geo = FrameGeometry(image_width=w, image_height=h, one_frame=True,
+                        lfg_count_x=meta.lfg_count_x, lf_groups=lfgs,
+                        lfg_arrival=list(range(n)))
+    num_presets = geo.num_presets
+    lpp = geo.lfg_per_preset
+    my_presets = _assign_presets(num_presets, n_proc, pid)
+    my_lfids = [i for p in my_presets
+                for i in range(p * lpp, min((p + 1) * lpp, n))]
+
+    counts = [0] * num_presets
+    for i in range(n):
+        counts[i // lpp] += 1
+    hf = StreamingHFStream(num_presets, counts, spool_dir=spool_dir)
+    codec = TokenCodec()
+
+    lf_secs = []     # (lfid, (bytes, tail_val, tail_bits))
+
+    def one_lfg(lfid: int):
+        lfg = lfgs[lfid]
+        preset = lfid // lpp
+        pixels = image[lfg.y * 2048:lfg.y * 2048 + lfg.height,
+                       lfg.x * 2048:lfg.x * 2048 + lfg.width]
+        handle = _JaxDispatch(pixels, sample_fmt, linear_light, lfg,
+                              preset, hf, codec=codec)
+        return handle.drain(hf), preset
+
+    step = with_retry(one_lfg, attempts=attempts)
+    for lfid in my_lfids:
+        (lf_q, lf_res), preset = step(lfid)
+        bw = new_bitwriter()
+        write_lf_group(bw, lf_q, lf_res)
+        lf_secs.append((lfid, bw.export_raw()))
+        hf.finish_lfg(preset)
+    hf.encode_group_sections()   # asserts all local presets flushed
+
+    hf_keys = [(lfid, j) for lfid in my_lfids
+               for j in range(lfgs[lfid].group_count)]
+    hf_secs = list(zip(hf_keys, hf.iter_sections()))
+    assert len(hf_secs) == len(hf_keys)
+    my_freqs = {c: hf._freqs[c] for p in my_presets
+                for c in range((hf._num_clusters // num_presets) * p,
+                               (hf._num_clusters // num_presets) * (p + 1))}
+
+    payload = pickle.dumps({"lf": lf_secs, "hf": hf_secs,
+                            "freqs": my_freqs})
+    gathered = gather_bytes_to_host0(payload)
+    if gathered is None:
+        return None
+
+    # -- process 0: assemble ------------------------------------------------
+    all_lf: dict = {}
+    all_hf: dict = {}
+    freqs = [None] * hf._num_clusters
+    for blob in gathered:
+        part = pickle.loads(blob)
+        all_lf.update(dict(part["lf"]))
+        all_hf.update(dict(part["hf"]))
+        for c, f in part["freqs"].items():
+            freqs[c] = f
+    assert len(all_lf) == n, f"missing LF sections: {sorted(all_lf)}"
+
+    main = new_bitwriter()
+    headers.write_image_header(main, w, h, meta.level10)
+    write_frame_header(main, geo, True)
+    asm = _FrameAssembler(geo.toc_size > 1)
+    write_lf_global(asm.working)
+    asm.end_section()
+    for lfid in range(n):
+        data, tail_val, tail_bits = all_lf[lfid]
+        asm.working.append_bytes(data)
+        asm.working.write(tail_val, tail_bits)
+        asm.end_section()
+    write_hf_global_fixed_las(asm.working, hf.cluster_map,
+                              hf._num_clusters, num_presets, freqs,
+                              geo.num_frame_groups,
+                              StreamingHFStream.FIXED_LAS)
+    asm.end_section()
+    for key in sorted(all_hf):
+        data, tail_val, tail_bits = all_hf[key]
+        asm.working.append_bytes(data)
+        asm.working.write(tail_val, tail_bits)
+        asm.end_section()
+    asm.write_toc_sizes(main)
+    return main.finalize() + asm.working.finalize()
