@@ -25,6 +25,37 @@ from ..encoder import _FrameAssembler, new_bitwriter
 from ..ops import tables
 
 
+def _lfg_unpacked_fallback(hf, asm, image, g, preset, linear_light,
+                           sample_fmt, cm_dev, num_clusters) -> None:
+    """Re-run one LF group through the unpacked pipeline (packed
+    transport overflow) and feed padded arrays to the HF stream."""
+    import jax.numpy as jnp
+    from ..ops import pipeline
+
+    px = np.zeros((2048, 2048, 3), image.dtype)
+    px[:g.height, :g.width] = image[
+        g.y * 2048:g.y * 2048 + g.height, g.x * 2048:g.x * 2048 + g.width]
+    out = pipeline.encode_lfg(
+        jnp.asarray(px), g.height, g.width,
+        jnp.full((64,), preset, jnp.int32), cm_dev, buf_h=2048, buf_w=2048,
+        linear_light=linear_light, num_clusters=num_clusters,
+        sample_kind=sample_fmt)
+    vh, vw = g.varblock_height, g.varblock_width
+    write_lf_group(asm.working, np.asarray(out["lf_q"])[:vh, :vw],
+                   np.asarray(out["lf_res"])[:vh, :vw])
+    asm.end_section()
+    tokens = np.asarray(out["tokens"]).reshape(64, 1024, 3, 64)
+    clusters = np.asarray(out["clusters"]).reshape(tokens.shape)
+    residues = np.asarray(out["residues"]).reshape(tokens.shape)
+    residue_bits = np.asarray(out["residue_bits"]).reshape(tokens.shape)
+    valid_len = np.asarray(out["valid_len"]).reshape(64, 1024, 3)
+    for gy in range(g.group_count_y):
+        for gx in range(g.group_count_x):
+            gi = gy * 8 + gx
+            hf.add_group_padded(tokens[gi], clusters[gi], residues[gi],
+                                residue_bits[gi], valid_len[gi], preset)
+
+
 def encode_image_sharded(image: np.ndarray, mesh=None,
                          linear_light: bool = False,
                          sample_fmt: str = "uint8") -> bytes:
@@ -117,12 +148,18 @@ def encode_image_sharded(image: np.ndarray, mesh=None,
             g = lfgs[lfid]
             combined = out["combined"][j]
             aux = np.ascontiguousarray(combined[:A]).view(np.int32)
+            preset = lfid // geo.lfg_per_preset
             if not bool(aux[0]):
-                raise RuntimeError("packed-stream overflow; use Encoder")
+                # transport overflow (token beyond the 64-symbol
+                # alphabet): recompute this LF group unpacked on the
+                # default device, same as the Encoder's fallback
+                _lfg_unpacked_fallback(hf, asm, image, g, preset,
+                                       linear_light, sample_fmt, cm_dev,
+                                       num_clusters)
+                continue
             parsed = _parse_packed(aux, combined[A:], 2048, 2048, g)
             write_lf_group(asm.working, None, parsed["lf_res"])
             asm.end_section()
-            preset = lfid // geo.lfg_per_preset
             hf.add_lfg_packed(parsed["tok_words"], parsed["res_words"],
                               tok_lut, preset, (8, 8),
                               (g.varblock_height, g.varblock_width),
