@@ -15,15 +15,25 @@ import time
 import numpy as np
 
 
-def _read_input(path: str, is_pfm: bool):
-    if is_pfm:
-        from .utils.pfm import read_pfm
+class _ArrayRows:
+    """Row-reader facade over an in-memory array (PFM / PIL fallback)."""
 
-        img = read_pfm(sys.stdin.buffer if path == "-" else path)
-        return img, "float32"
+    def __init__(self, arr: np.ndarray, fmt: str) -> None:
+        self.arr = arr
+        self.fmt = fmt
+        self.height, self.width = arr.shape[:2]
+        self._r = 0
+
+    def read_rows(self, n: int) -> np.ndarray:
+        out = self.arr[self._r:self._r + n]
+        self._r += len(out)
+        return out
+
+
+def _pil_reader(fobj) -> _ArrayRows:
     from PIL import Image
 
-    im = Image.open(sys.stdin.buffer if path == "-" else path)
+    im = Image.open(fobj)
     if im.mode in ("I;16", "I;16B", "I"):
         arr = np.asarray(im, dtype=np.uint16)
         fmt = "uint16"
@@ -35,7 +45,42 @@ def _read_input(path: str, is_pfm: bool):
         arr = np.stack([arr] * 3, axis=-1)
     if arr.shape[-1] == 4:
         arr = arr[..., :3]
-    return arr, fmt
+    return _ArrayRows(arr, fmt)
+
+
+def _open_input(path: str, is_pfm: bool):
+    """Returns a row reader with .width/.height/.fmt/.read_rows(n).
+
+    PNG inputs stream row-by-row (utils/pngio.py) so only one tile-row
+    strip is ever resident -- the reference CLI's bounded-memory input
+    story (hydrium.c:407-422).  PFM and exotic PNGs (interlaced etc.)
+    fall back to a whole-image read."""
+    if is_pfm:
+        from .utils.pfm import read_pfm
+
+        img = read_pfm(sys.stdin.buffer if path == "-" else path)
+        return _ArrayRows(img, "float32")
+    fobj = sys.stdin.buffer if path == "-" else open(path, "rb")
+    try:
+        from .utils.pngio import PNGReader
+
+        return PNGReader(fobj)
+    except ValueError:
+        if path == "-":
+            raise
+        fobj.seek(0)
+        return _pil_reader(fobj)
+
+
+def _peak_rss_mb() -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmHWM:"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
 
 
 def main(argv=None) -> int:
@@ -74,14 +119,13 @@ def main(argv=None) -> int:
         p.error("--tag-icc-from requires one-frame mode")
 
     is_pfm = args.pfm or (not args.png and args.input.endswith(".pfm"))
-    img, fmt = _read_input(args.input, is_pfm)
-    if args.pfm or is_pfm:
-        fmt = "float32"
+    reader = _open_input(args.input, is_pfm)
+    fmt = "float32" if is_pfm else reader.fmt
+    h, w = reader.height, reader.width
 
     from .config import ImageMetadata, SampleFormat
     from .encoder import Encoder
 
-    h, w = img.shape[:2]
     meta = ImageMetadata(width=w, height=h, linear_light=args.linear,
                          tile_size_shift_x=tile_shift,
                          tile_size_shift_y=tile_shift)
@@ -94,16 +138,27 @@ def main(argv=None) -> int:
     out = (sys.stdout.buffer if args.output == "-"
            else open(args.output, "wb"))
     captured = bytearray() if args.verify else None
+    strips = [] if args.verify else None
     t0 = time.perf_counter()
     tile = 2048 if meta.one_frame else meta.tile_width
     total = 0
     sample_fmt = SampleFormat(fmt)
+    # stream one tile-row strip at a time: peak pixel residency is
+    # tile * width * 3 samples regardless of image height
     for ty in range((h + tile - 1) // tile):
-        for tx in range((w + tile - 1) // tile):
-            y0, x0 = ty * tile, tx * tile
-            enc.send_tile(img[y0:y0 + tile, x0:x0 + tile], tx, ty,
-                          sample_fmt=sample_fmt)
-            chunk = enc.take_output()
+        strip = reader.read_rows(min(tile, h - ty * tile))
+        if strips is not None:
+            strips.append(strip)
+        if meta.one_frame:
+            for tx in range((w + tile - 1) // tile):
+                enc.send_tile(strip[:, tx * tile:(tx + 1) * tile], tx, ty,
+                              sample_fmt=sample_fmt)
+        else:
+            # batched path: one device dispatch + fetch per strip chunk
+            entries = [(strip[:, tx * tile:(tx + 1) * tile], tx, ty)
+                       for tx in range((w + tile - 1) // tile)]
+            enc.send_tile_batch(entries, sample_fmt=sample_fmt)
+        for chunk in enc.iter_output():
             out.write(chunk)
             if captured is not None:
                 captured.extend(chunk)
@@ -115,11 +170,13 @@ def main(argv=None) -> int:
     if args.stats:
         print(f"{w}x{h} -> {total} bytes "
               f"({8.0 * total / (w * h):.3f} bpp) in {dt:.2f}s "
-              f"({w * h / dt / 1e6:.2f} Mpixels/s)", file=sys.stderr)
+              f"({w * h / dt / 1e6:.2f} Mpixels/s), "
+              f"peak RSS {_peak_rss_mb():.0f} MB", file=sys.stderr)
 
     if args.verify:
         from .utils import djxl
 
+        img = np.concatenate(strips, axis=0)
         dec = djxl.decode(bytes(captured))
         if fmt == "uint8":
             ref = img / 255.0

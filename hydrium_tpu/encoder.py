@@ -416,6 +416,48 @@ _BACKENDS = {
 }
 
 
+class _SectionSpool:
+    """Raw (unpadded) frame sections, optionally spooled to disk, for
+    the streaming finalize path: only section *sizes* stay in RAM, the
+    bytes stream back out at emission time."""
+
+    def __init__(self, spool_dir: Optional[str]) -> None:
+        self.dir = spool_dir
+        self._count = 0
+        self.items: List = []    # (data|path, tail_val, tail_bits, nbytes)
+
+    def add_raw(self, raw) -> None:
+        data, tail_val, tail_bits = raw
+        if self.dir is not None:
+            import os as _os
+
+            path = _os.path.join(self.dir, f"lfsec{self._count}.bin")
+            self._count += 1
+            with open(path, "wb") as f:
+                f.write(data)
+            self.items.append((path, tail_val, tail_bits, len(data)))
+        else:
+            self.items.append((data, tail_val, tail_bits, len(data)))
+
+    def padded_size(self, i: int) -> int:
+        _, _, tail_bits, nbytes = self.items[i]
+        return nbytes + (1 if tail_bits else 0)
+
+    def emit(self, i: int, chunk: int = 1 << 22):
+        src, tail_val, tail_bits, _ = self.items[i]
+        if isinstance(src, str):
+            with open(src, "rb") as f:
+                while True:
+                    b = f.read(chunk)
+                    if not b:
+                        break
+                    yield b
+        else:
+            yield src
+        if tail_bits:
+            yield bytes([tail_val & 0xFF])
+
+
 class _FrameAssembler:
     """Section buffer + TOC bookkeeping for a single frame
     (mirrors working_writer/section_endpos, internal.h:56-67)."""
@@ -467,6 +509,7 @@ class Encoder:
         self.spool_dir = spool_dir
         self.stats = EncodeStats()
         self._out = bytearray()
+        self._emit_iter = None
         self._wrote_header = False
         self._finished = False
         self._codec = None
@@ -498,6 +541,7 @@ class Encoder:
                 lfg_count_x=m.lfg_count_x, lf_groups=self._lfgs,
                 lfg_arrival=[])
             self._assembler: Optional[_FrameAssembler] = None
+            self._lf_spool: Optional[_SectionSpool] = None
             self._hf: Optional[HFStream] = None
             self._sent = set()
 
@@ -522,10 +566,41 @@ class Encoder:
             self._send_tile_tiled(pixels, tile_x, tile_y, is_last, fmt)
 
     def take_output(self) -> bytes:
+        """Drain every pending output byte (materializes the finalize
+        stream; use iter_output for bounded-memory draining)."""
+        if self._emit_iter is not None:
+            for chunk in self._emit_iter:
+                self._out.extend(chunk)
+            self._emit_iter = None
         out = bytes(self._out)
         self._out.clear()
         self.stats.bytes_out += len(out)
         return out
+
+    def iter_output(self, chunk_size: int = 1 << 22):
+        """Yield pending output in bounded chunks.  In streaming mode
+        the finalize emission reads spooled sections incrementally, so
+        host memory stays bounded even when the encoded image does not
+        fit in RAM (the pull-model counterpart of the reference's
+        HYD_NEED_MORE_OUTPUT buffer-swap protocol, libhydrium.c:114-166;
+        see README for the contract delta)."""
+        if self._out:
+            out = bytes(self._out)
+            self._out.clear()
+            self.stats.bytes_out += len(out)
+            yield out
+        if self._emit_iter is not None:
+            buf = bytearray()
+            for chunk in self._emit_iter:
+                buf.extend(chunk)
+                if len(buf) >= chunk_size:
+                    self.stats.bytes_out += len(buf)
+                    yield bytes(buf)
+                    buf.clear()
+            self._emit_iter = None
+            if buf:
+                self.stats.bytes_out += len(buf)
+                yield bytes(buf)
 
     @property
     def finished(self) -> bool:
@@ -754,8 +829,7 @@ class Encoder:
             raise ValueError("tile already sent")
         last = self._tile_is_last(tile_x, tile_y, 2048, 2048, is_last)
 
-        if self._assembler is None:
-            self._assembler = _FrameAssembler(self._geo.toc_size > 1)
+        if self._assembler is None and self._lf_spool is None:
             if self.streaming:
                 geo = self._geo
                 counts = [0] * geo.num_presets
@@ -763,11 +837,18 @@ class Encoder:
                     counts[_id // geo.lfg_per_preset] += 1
                 self._hf = StreamingHFStream(geo.num_presets, counts,
                                              spool_dir=self.spool_dir)
+                # bounded-output: LF sections spool next to HF sections;
+                # nothing accumulates in a RAM working writer
+                self._lf_spool = _SectionSpool(self.spool_dir)
+                bw = new_bitwriter()
+                write_lf_global(bw)
+                self._lf_spool.add_raw(bw.export_raw())
             else:
+                self._assembler = _FrameAssembler(self._geo.toc_size > 1)
                 self._hf = HFStream(self._geo.num_presets)
+                write_lf_global(self._assembler.working)
+                self._assembler.end_section()
             self._pending = []
-            write_lf_global(self._assembler.working)
-            self._assembler.end_section()
 
         self.stats.pixels += self._lfgs[lfid].height * self._lfgs[lfid].width
         self._process_lfg(pixels, lfid, fmt)
@@ -831,28 +912,65 @@ class Encoder:
                 self._hf.finish_lfg(handle.preset)
 
     def _write_lf(self, lf_q, lf_res) -> None:
-        asm = self._assembler
         with self.stats.stage("lf_sections"):
-            write_lf_group(asm.working, lf_q, lf_res)
-            asm.end_section()
+            if self.streaming:
+                bw = new_bitwriter()
+                write_lf_group(bw, lf_q, lf_res)
+                self._lf_spool.add_raw(bw.export_raw())
+            else:
+                asm = self._assembler
+                write_lf_group(asm.working, lf_q, lf_res)
+                asm.end_section()
 
     def _finalize_one_frame(self) -> None:
-        asm = self._assembler
         hf = self._hf
         geo = self._geo
         with self.stats.stage("ans_encode"):
             hf.encode_group_sections()
+
+        if self.streaming:
+            # bounded-output finalize: compute section sizes (bytes stay
+            # spooled), write headers + TOC, then stream everything out
+            hfg = new_bitwriter()
+            hf.write_hf_global(hfg, geo.num_frame_groups)
+            hfg_raw = hfg.export_raw()
+            hf_items = list(hf.iter_section_meta())
+            spool = self._lf_spool
+            sizes = [spool.padded_size(i) for i in range(len(spool.items))]
+            sizes.append(len(hfg_raw[0]) + (1 if hfg_raw[2] else 0))
+            sizes.extend(n + (1 if tb else 0) for _, tb, n in hf_items)
+
+            main = new_bitwriter()
+            if not self._wrote_header:
+                self._image_header(main)
+            write_frame_header(main, geo, True)
+            main.zero_pad()
+            for s in sizes:
+                main.write_u32(TOC_TABLE, s)
+            main.zero_pad()
+
+            def emit():
+                yield main.finalize()
+                for i in range(len(spool.items)):
+                    yield from spool.emit(i)
+                yield hfg_raw[0]
+                if hfg_raw[2]:
+                    yield bytes([hfg_raw[1] & 0xFF])
+                for data, tail_val, tail_bits in hf.iter_sections():
+                    yield data
+                    if tail_bits:
+                        yield bytes([tail_val & 0xFF])
+
+            self._emit_iter = emit()
+            self._finished = True
+            return
+
+        asm = self._assembler
         hf.write_hf_global(asm.working, geo.num_frame_groups)
         asm.end_section()
-        if self.streaming:
-            for data, tail_val, tail_bits in hf.iter_sections():
-                asm.working.append_bytes(data)
-                asm.working.write(tail_val, tail_bits)
-                asm.end_section()
-        else:
-            for gbw in hf.group_sections:
-                asm.working.append_writer(gbw)
-                asm.end_section()
+        for gbw in hf.group_sections:
+            asm.working.append_writer(gbw)
+            asm.end_section()
 
         main = new_bitwriter()
         if not self._wrote_header:

@@ -487,9 +487,11 @@ class StreamingHFStream:
                 self._spool_count += 1
                 with open(path, "wb") as f:
                     f.write(raw[0])
-                self._sections.append((key, (path, raw[1], raw[2])))
+                self._sections.append(
+                    (key, (path, raw[1], raw[2], len(raw[0]))))
             else:
-                self._sections.append((key, raw))
+                self._sections.append(
+                    (key, (raw[0], raw[1], raw[2], len(raw[0]))))
         # clusters for this preset occupy a contiguous id range
         per = self._num_clusters // self.num_presets
         for c in range(per * preset, per * (preset + 1)):
@@ -512,7 +514,14 @@ class StreamingHFStream:
                 with open(sec[0], "rb") as f:
                     yield f.read(), sec[1], sec[2]
             else:
-                yield sec
+                yield sec[0], sec[1], sec[2]
+
+    def iter_section_meta(self):
+        """Yield (tail_val, tail_bits, nbytes) per section in the same
+        order as iter_sections, WITHOUT reading spooled bytes -- the
+        bounded-output finalize sizes the TOC from this."""
+        for _key, sec in sorted(self._sections, key=lambda kv: kv[0]):
+            yield sec[1], sec[2], sec[3]
 
     def write_hf_global(self, bw, num_frame_groups: int) -> None:
         write_hf_global_fixed_las(bw, self.cluster_map, self._num_clusters,

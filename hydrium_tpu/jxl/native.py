@@ -98,6 +98,10 @@ def _load():
         lib.hyd_hf_frequencies.restype = ctypes.c_long
         lib.hyd_hf_frequencies.argtypes = [P, ctypes.c_long, ctypes.c_void_p,
                                            ctypes.c_long]
+        lib.hyd_png_unfilter.restype = ctypes.c_int
+        lib.hyd_png_unfilter.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                         ctypes.c_long, ctypes.c_int,
+                                         ctypes.c_int]
         _lib = lib
     except Exception as e:  # pragma: no cover
         _load_error = str(e)
