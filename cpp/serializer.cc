@@ -1104,6 +1104,9 @@ int hyd_hf_prepare(HydHF* h) {
                            : std::max(cllog2(h->max_alphabet_size), 5);
     if ((uint32_t)(1u << h->las) < h->max_alphabet_size)
       throw std::runtime_error("alphabet exceeds forced las");
+    if (h->las < 5 || h->las > 8)
+      throw std::runtime_error("las outside [5, 8] (alphabet too large "
+                               "or bad force_las)");
     h->aliases.assign(h->num_clusters, {});
     for (size_t c = 0; c < h->num_clusters; c++) {
       if (!h->alphabet_sizes[c]) continue;
@@ -1163,6 +1166,10 @@ int hyd_hf_write_frequencies(HydHF* h, HydWriter* w) {
 int hyd_hf_write_header(HydHF* h, const uint8_t* cmap, long num_dists,
                         HydWriter* w) {
   try {
+    // las occupies a 2-bit field as (las - 5); anything outside [5, 8]
+    // (oversized alphabet, bad force_las) would silently wrap into a
+    // corrupt header, so fail loudly instead.
+    if (h->las < 5 || h->las > 8) return -1;
     BitWriter& bw = w->bw;
     bw.write_bool(false);  // lz77
     std::vector<uint8_t> cm(cmap, cmap + num_dists);

@@ -129,8 +129,18 @@ def main(argv=None) -> int:
     meta = ImageMetadata(width=w, height=h, linear_light=args.linear,
                          tile_size_shift_x=tile_shift,
                          tile_size_shift_y=tile_shift)
+    # large one-frame encodes spool finished sections to disk so host
+    # memory stays bounded end to end (input strips + spooled sections)
+    spool_ctx = None
+    spool_dir = None
+    if meta.one_frame and meta.lfg_per_frame >= Encoder.STREAMING_LFG_THRESHOLD:
+        import tempfile
+
+        spool_ctx = tempfile.TemporaryDirectory(prefix="hydrium_spool_")
+        spool_dir = spool_ctx.name
     enc = Encoder(meta, backend=args.backend or "jax",
-                  profile=None if args.backend else args.profile)
+                  profile=None if args.backend else args.profile,
+                  spool_dir=spool_dir)
     if args.tag_icc_from:
         with open(args.tag_icc_from, "rb") as f:
             enc.set_suggested_icc_profile(f.read())
@@ -166,6 +176,8 @@ def main(argv=None) -> int:
     dt = time.perf_counter() - t0
     if out is not sys.stdout.buffer:
         out.close()
+    if spool_ctx is not None:
+        spool_ctx.cleanup()
 
     if args.stats:
         print(f"{w}x{h} -> {total} bytes "

@@ -70,6 +70,12 @@ def tables_hf_cluster_map_1():
     return tables.hf_cluster_map(1)
 
 
+def _pl_default() -> bool:
+    from .ops.pipeline import default_use_pallas
+
+    return default_use_pallas()
+
+
 def _bucket_words(n: int, cap: int) -> int:
     """Smallest m * 2^k >= n with m in 4..8: bounds fetch over-read to
     ~12% while keeping the set of compiled slicers small (4/octave)."""
@@ -243,8 +249,7 @@ class _JaxDispatch:
         self.kwargs = dict(buf_h=buf_h, buf_w=buf_w,
                            linear_light=linear_light,
                            num_clusters=num_clusters, sample_kind=sample_fmt,
-                           use_pallas=os.environ.get(
-                               "HYDRIUM_PALLAS", "0") == "1")
+                           use_pallas=_pl_default())
         self.presets_dev = jnp.full((bgcy * bgcx,), preset, jnp.int32)
         self.cm_dev = jnp.asarray(hf.cluster_map)
         self.px = jnp.asarray(px)
@@ -725,7 +730,7 @@ class Encoder:
         kwargs = dict(buf_h=K_stack * th, buf_w=tw,
                       linear_light=m.linear_light, num_clusters=9,
                       sample_kind=fmt,
-                      use_pallas=os.environ.get("HYDRIUM_PALLAS", "0") == "1",
+                      use_pallas=_pl_default(),
                       # stacked tiles are independent frames: LF
                       # prediction restarts at every tile boundary
                       lf_seg_vb=th >> 3)

