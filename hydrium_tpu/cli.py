@@ -56,10 +56,11 @@ def _open_input(path: str, is_pfm: bool):
     story (hydrium.c:407-422).  PFM and exotic PNGs (interlaced etc.)
     fall back to a whole-image read."""
     if is_pfm:
-        from .utils.pfm import read_pfm
+        from .utils.pfm import PFMRowReader, read_pfm
 
-        img = read_pfm(sys.stdin.buffer if path == "-" else path)
-        return _ArrayRows(img, "float32")
+        if path != "-":
+            return PFMRowReader(path)     # strip-at-a-time via seeks
+        return _ArrayRows(read_pfm(sys.stdin.buffer), "float32")
     fobj = sys.stdin.buffer if path == "-" else open(path, "rb")
     try:
         from .utils.pngio import PNGReader

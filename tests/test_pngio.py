@@ -125,6 +125,35 @@ def test_incremental_rows_match_bulk():
     assert np.array_equal(got, arr)
 
 
+def test_pfm_row_reader_matches_bulk(tmp_path):
+    from hydrium_tpu.utils.pfm import PFMRowReader, read_pfm, write_pfm
+
+    rng = np.random.default_rng(8)
+    img = rng.random((75, 60, 3), dtype=np.float32)
+    p = tmp_path / "t.pfm"
+    write_pfm(str(p), img)
+    r = PFMRowReader(str(p))
+    got = np.concatenate([r.read_rows(16) for _ in range(5)], axis=0)
+    r.close()
+    assert np.array_equal(got, read_pfm(str(p)))
+    assert np.array_equal(got, img)
+
+
+def test_cli_streams_pfm_byte_equal(tmp_path):
+    from hydrium_tpu import cli, encode_image
+    from hydrium_tpu.utils.pfm import write_pfm
+
+    rng = np.random.default_rng(9)
+    img = rng.random((300, 300, 3), dtype=np.float32)
+    p = tmp_path / "t.pfm"
+    write_pfm(str(p), img)
+    out = tmp_path / "t.jxl"
+    rc = cli.main([str(p), str(out), "--one-frame", "--backend", "jax"])
+    assert rc == 0
+    assert out.read_bytes() == encode_image(img, tile_size_shift=-1,
+                                            backend="jax")
+
+
 def test_cli_streams_png_byte_equal(tmp_path):
     """CLI (strip-streamed input, batched tiled mode) must produce the
     same bytes as the in-memory encode."""
