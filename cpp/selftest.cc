@@ -31,9 +31,9 @@ void hyd_hf_add_group(HydHF*, const uint16_t*, const uint8_t*,
                       const uint32_t*, const uint8_t*, const int32_t*, long,
                       uint32_t);
 int hyd_hf_add_lfg_packed(HydHF*, const uint32_t*, const uint32_t*,
-                          const uint16_t*, const uint8_t*, uint32_t, long,
-                          long, long, long, const int64_t*, const int64_t*,
-                          const int64_t*, int);
+                          const uint16_t*, int, const uint8_t*, uint32_t,
+                          long, long, long, long, const int64_t*,
+                          const int64_t*, const int64_t*, int);
 int hyd_hf_prepare(HydHF*);
 int hyd_hf_encode_all(HydHF*, int, HydWriter**, int);
 int hyd_hf_write_header(HydHF*, const uint8_t*, long, HydWriter*);
@@ -129,9 +129,11 @@ static void test_hf_padded_and_packed() {
     for (int i = 0; i < 6; i++) r |= ((v >> i) & 1) << (5 - i);
     return r;
   };
-  std::vector<uint16_t> lut(4096);
-  for (uint32_t idx = 0; idx < 4096; idx++)
-    lut[idx] = (uint16_t)(rev6(idx & 63) | (6 << 8));
+  // 9 classes, all using the same fixed 6-bit code
+  std::vector<uint16_t> lut(9 * 4096);
+  for (int k = 0; k < 9; k++)
+    for (uint32_t idx = 0; idx < 4096; idx++)
+      lut[k * 4096 + idx] = (uint16_t)(rev6(idx & 63) | (6 << 8));
   std::vector<uint32_t> tw, rw;
   uint64_t tcache = 0, rcache = 0;
   int tbits = 0, rbitsn = 0;
@@ -168,8 +170,9 @@ static void test_hf_padded_and_packed() {
   HydHF* h2 = hyd_hf_new(9);
   hyd_hf_force_las(h2, 8);
   int64_t toff[1] = {0}, roff[1] = {0}, scount[1] = {total_syms};
-  if (hyd_hf_add_lfg_packed(h2, tw.data(), rw.data(), lut.data(), cm.data(),
-                            0, 1, 1, 32, 32, toff, roff, scount, 2) != 0) {
+  if (hyd_hf_add_lfg_packed(h2, tw.data(), rw.data(), lut.data(), 9,
+                            cm.data(), 0, 1, 1, 32, 32, toff, roff, scount,
+                            2) != 0) {
     fprintf(stderr, "packed walk failed\n");
     exit(1);
   }

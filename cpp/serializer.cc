@@ -915,7 +915,8 @@ struct BitReader {
 // Returns symbols written, or SIZE_MAX on a corrupt/overflowing stream.
 static size_t walk_group_packed(const uint32_t* token_words, long tok_bit_off,
                          const uint32_t* residue_words, long res_bit_off,
-                         const uint16_t* lut, const uint8_t* cmap,
+                         const uint16_t* lut, int tok_classes,
+                         const uint8_t* cmap,
                          int gbh, int gbw, Sym* out, size_t out_cap,
                          uint32_t* alphabet_sizes, uint32_t* max_alphabet) {
   BitReader tr{token_words, (size_t)tok_bit_off};
@@ -928,15 +929,9 @@ static size_t walk_group_packed(const uint32_t* token_words, long tok_bit_off,
       if (bx >= gbw) continue;  // beyond the group's true extent
       for (int c = 0; c < 3; c++) {
         if (dst == end) return SIZE_MAX;
-        // count symbol
-        uint16_t e = lut[tr.peek12()];
-        uint32_t tok = e & 0xFF;
-        tr.bitpos += e >> 8;
-        int rb = tok < 16 ? 0 : (int)((tok - 16) >> 1) + 3;
-        uint32_t res = rr.read(rb);
-        uint32_t count =
-            tok < 16 ? tok : ((2u | ((tok - 16) & 1)) << rb) | res;
-        counts[by][bx][c] = (uint8_t)count;
+        // the context (hence cluster, hence transport code class) is
+        // known BEFORE each token is decoded -- same property the ANS
+        // decoder relies on
         uint32_t predicted;
         if (!bx && !by)
           predicted = 32;
@@ -950,11 +945,20 @@ static size_t walk_group_packed(const uint32_t* token_words, long tok_bit_off,
         uint32_t nzctx = predicted < 8
                              ? predicted
                              : 4 + (std::min<uint32_t>(predicted, 64) >> 1);
+        uint8_t cluster = cmap[3 * nzctx + c];
+        uint16_t e = lut[(cluster % tok_classes) * 4096 + tr.peek12()];
+        uint32_t tok = e & 0xFF;
+        tr.bitpos += e >> 8;
+        int rb = tok < 16 ? 0 : (int)((tok - 16) >> 1) + 3;
+        uint32_t res = rr.read(rb);
+        uint32_t count =
+            tok < 16 ? tok : ((2u | ((tok - 16) & 1)) << rb) | res;
+        counts[by][bx][c] = (uint8_t)count;
         Sym s;
         s.token = tok;
         s.residue = res;
         s.residue_bits = rb;
-        s.cluster = cmap[3 * nzctx + c];
+        s.cluster = cluster;
         *dst++ = s;
         uint32_t a = tok + 1;
         *max_alphabet = std::max(*max_alphabet, a);
@@ -965,19 +969,20 @@ static size_t walk_group_packed(const uint32_t* token_words, long tok_bit_off,
         int hist = 458 * c + 111;
         for (int k = 1; k < 64 && remaining; k++) {
           if (dst == end) return SIZE_MAX;
-          e = lut[tr.peek12()];
+          int ctx = hist + prev +
+                    ((kCoeffNumNzCtx[remaining > 63 ? 63 : remaining]
+                      + kCoeffFreqCtx[k]) << 1);
+          uint8_t cl2 = cmap[ctx];
+          e = lut[(cl2 % tok_classes) * 4096 + tr.peek12()];
           tok = e & 0xFF;
           tr.bitpos += e >> 8;
           rb = tok < 16 ? 0 : (int)((tok - 16) >> 1) + 3;
           res = rr.read(rb);
-          int ctx = hist + prev +
-                    ((kCoeffNumNzCtx[remaining > 63 ? 63 : remaining]
-                      + kCoeffFreqCtx[k]) << 1);
           Sym s2;
           s2.token = tok;
           s2.residue = res;
           s2.residue_bits = rb;
-          s2.cluster = cmap[ctx];
+          s2.cluster = cl2;
           *dst++ = s2;
           a = tok + 1;
           *max_alphabet = std::max(*max_alphabet, a);
@@ -1007,7 +1012,8 @@ static size_t walk_group_packed(const uint32_t* token_words, long tok_bit_off,
 // must then discard this HydHF).
 int hyd_hf_add_lfg_packed(HydHF* h, const uint32_t* token_words,
                           const uint32_t* residue_words,
-                          const uint16_t* tok_lut,  // [4096]
+                          const uint16_t* tok_lut,  // [tok_classes, 4096]
+                          int tok_classes,
                           const uint8_t* cluster_map, uint32_t preset,
                           long gcy, long gcx, long vh, long vw,
                           const int64_t* tok_bit_offs,
@@ -1041,7 +1047,8 @@ int hyd_hf_add_lfg_packed(HydHF* h, const uint32_t* token_words,
       }
       size_t wrote = walk_group_packed(
           token_words, tok_bit_offs[g], residue_words, res_bit_offs[g],
-          tok_lut, cmap, gbh, gbw, h->syms.data() + base + offsets[g],
+          tok_lut, tok_classes, cmap, gbh, gbw,
+          h->syms.data() + base + offsets[g],
           (size_t)sym_counts[g], alpha[t].data(), &maxa[t]);
       if (wrote != (size_t)sym_counts[g]) errs[t] = 1;
     }

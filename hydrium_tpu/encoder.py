@@ -76,6 +76,22 @@ def _pl_default() -> bool:
     return default_use_pallas()
 
 
+_SHARED_CODEC = None
+
+
+def _shared_codec():
+    """One adaptive transport codec per process, shared across Encoders
+    (like the fetch-size hints): the code never affects output bytes,
+    only transfer size, and a warm code saves ~1 bit/symbol over the
+    generic prior on the first LF groups of every subsequent encode."""
+    global _SHARED_CODEC
+    if _SHARED_CODEC is None:
+        from .jxl.tokcode import TokenCodec
+
+        _SHARED_CODEC = TokenCodec()
+    return _SHARED_CODEC
+
+
 def _bucket_words(n: int, cap: int) -> int:
     """Smallest m * 2^k >= n with m in 4..8: bounds fetch over-read to
     ~12% while keeping the set of compiled slicers small (4/octave)."""
@@ -148,8 +164,8 @@ def _parse_packed(aux: np.ndarray, words, buf_h: int, buf_w: int, lfg):
     vh, vw = (lfg.height + 7) >> 3, (lfg.width + 7) >> 3
     tok_total, res_total, lf_w = int(aux[1]), int(aux[2]), int(aux[3])
     S = 8  # pipeline.AUX_SCALARS
-    hist64 = aux[S:S + 64]
-    o = S + 64
+    hist64 = aux[S:S + 576]      # [9, 64] per-class token histogram
+    o = S + 576
     gs = aux[o:o + G].astype(np.int64)
     gr = aux[o + G:o + 2 * G].astype(np.int64)
     gt = aux[o + 2 * G:o + 3 * G].astype(np.int64)
@@ -249,7 +265,8 @@ class _JaxDispatch:
         self.kwargs = dict(buf_h=buf_h, buf_w=buf_w,
                            linear_light=linear_light,
                            num_clusters=num_clusters, sample_kind=sample_fmt,
-                           use_pallas=_pl_default())
+                           use_pallas=_pl_default(),
+                           tok_classes=num_clusters // hf.num_presets)
         self.presets_dev = jnp.full((bgcy * bgcx,), preset, jnp.int32)
         self.cm_dev = jnp.asarray(hf.cluster_map)
         self.px = jnp.asarray(px)
@@ -259,18 +276,11 @@ class _JaxDispatch:
             if codec is None:
                 codec = TokenCodec()
             self._codec = codec
-            # snapshot the transport code at dispatch time: the walker
-            # must decode with exactly the table the device packed with,
-            # even though the codec adapts between dispatches
-            lens, codes, lut = codec.tables()
-            self.tok_lut = lut
             # dispatch is async (jax returns futures); transfers start at
             # drain time.  NOTE: Array.copy_to_host_async() is broken on
             # the axon remote-TPU backend (the later host read deadlocks),
             # so early-start transfers are deliberately not used here.
-            self.out = encode_lfg_packed(self.px, h, w, self.presets_dev,
-                                         self.cm_dev, jnp.asarray(lens),
-                                         jnp.asarray(codes), **self.kwargs)
+            self._dispatch()
         else:
             self.out = None
             self._codec = None
@@ -278,6 +288,21 @@ class _JaxDispatch:
         self._aux = None
         self._words = None
         self._pf_thread = None
+
+    def _dispatch(self) -> None:
+        """(Re)dispatch the packed pipeline with a snapshot of the
+        codec's current transport code: the walker must decode with
+        exactly the table the device packed with, even though the codec
+        adapts between dispatches."""
+        import jax.numpy as jnp
+        from .ops.pipeline import encode_lfg_packed
+
+        lens, codes, lut = self._codec.tables()
+        self.tok_lut = lut
+        self.out = encode_lfg_packed(
+            self.px, self.lfg.height, self.lfg.width, self.presets_dev,
+            self.cm_dev, jnp.asarray(lens), jnp.asarray(codes),
+            **self.kwargs)
 
     def start_prefetch(self, sem) -> None:
         """Run prefetch() on a daemon thread; `sem` serializes tunnel
@@ -319,6 +344,10 @@ class _JaxDispatch:
                 words = np.concatenate([first[A:], tail])
             if self.stats is not None:
                 self.stats.count("fetched_words", A + max(need + 1, have))
+                lf_n = (self.buf_h >> 3) * (self.buf_w >> 3) * 3
+                self.stats.count("lf_words", (lf_n * int(aux[3]) + 31) >> 5)
+                self.stats.count("tok_words", (int(aux[1]) + 31) >> 5)
+                self.stats.count("res_words", (int(aux[2]) + 31) >> 5)
         return aux, words
 
     def prefetch(self) -> None:
@@ -330,13 +359,31 @@ class _JaxDispatch:
         checksums are verified; a corrupt transfer is refetched once,
         then surrendered to the unpacked fallback."""
         try:
+            if self._codec is not None and self._codec.cold:
+                # cold-start bootstrap: the generic prior costs ~1 b/sym
+                # on real content, so pull only the tiny aux prefix (the
+                # per-class histogram), warm the codec, and re-dispatch
+                # this LF group with the adapted code before the big
+                # stream fetch (device recompute is ~ms; the savings are
+                # MBs of transfer)
+                from .ops.pipeline import packed_aux_len
+
+                A = packed_aux_len(self.buf_h, self.buf_w)
+                first = _fetch_prefix(self.out["combined"], A)
+                aux0 = np.ascontiguousarray(first[:A]).view(np.int32)
+                if packed_verify(aux0, None, self.buf_h, self.buf_w):
+                    self._codec.update(aux0[8:584])
+                    if not self._codec.cold:
+                        self._dispatch()
+                        if self.stats is not None:
+                            self.stats.count("codec_bootstraps")
             for attempt in range(2):
                 aux, words = self._fetch_once()
                 if packed_verify(aux, words, self.buf_h, self.buf_w):
                     self._aux = aux
                     self._words = words
                     if self._codec is not None:
-                        self._codec.update(aux[8:72])
+                        self._codec.update(aux[8:584])
                     return
                 if self.stats is not None:
                     self.stats.count("checksum_errors")
@@ -389,8 +436,9 @@ class _JaxDispatch:
 
         from .ops.pipeline import encode_lfg
 
+        kw = {k: v for k, v in self.kwargs.items() if k != "tok_classes"}
         out = encode_lfg(self.px, lfg.height, lfg.width, self.presets_dev,
-                         self.cm_dev, **self.kwargs)
+                         self.cm_dev, **kw)
         lf_q = np.asarray(out["lf_q"])[:vh, :vw]
         lf_res = np.asarray(out["lf_res"])[:vh, :vw]
         tokens = np.asarray(out["tokens"]).reshape(G, 1024, 3, 64)
@@ -521,9 +569,7 @@ class Encoder:
         if backend == "jax":
             import threading
 
-            from .jxl.tokcode import TokenCodec
-
-            self._codec = TokenCodec()
+            self._codec = _shared_codec()
             self._fetch_sem = threading.Semaphore(1)
 
         m = metadata
@@ -731,6 +777,7 @@ class Encoder:
                       linear_light=m.linear_light, num_clusters=9,
                       sample_kind=fmt,
                       use_pallas=_pl_default(),
+                      tok_classes=9,
                       # stacked tiles are independent frames: LF
                       # prediction restarts at every tile boundary
                       lf_seg_vb=th >> 3)
@@ -786,7 +833,7 @@ class Encoder:
                 for i in chunk:
                     payloads[i] = None   # corrupt transfer: per-tile path
                 continue
-            self._codec.update(aux[8:72])
+            self._codec.update(aux[8:584])
             parsed = _parse_packed(aux, words, K_stack * th, tw,
                                    stacked_geom)
             self.stats.count("lfg_packed")

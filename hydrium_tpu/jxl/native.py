@@ -78,9 +78,9 @@ def _load():
         lib.hyd_hf_add_lfg_packed.restype = ctypes.c_int
         lib.hyd_hf_add_lfg_packed.argtypes = [
             P, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_long, ctypes.c_long,
-            ctypes.c_long, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_int]
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
         lib.hyd_hf_prepare.restype = ctypes.c_int
         lib.hyd_hf_prepare.argtypes = [P]
         lib.hyd_hf_encode_all.restype = ctypes.c_int
@@ -294,11 +294,13 @@ class NativeHF:
         """Walk every group of one LF group in parallel (payload format
         v2; threads write disjoint symbol ranges sized by the device's
         per-group counts).  grid = (gcy, gcx) buffer group grid; extent
-        = (vh, vw) true varblock extent.  tok_lut: u16[4096] transport-
-        Huffman decode LUT (jxl/tokcode.py)."""
+        = (vh, vw) true varblock extent.  tok_lut: u16[n_classes, 4096]
+        per-cluster transport-Huffman decode LUTs (jxl/tokcode.py);
+        class = cluster % n_classes."""
         t = np.ascontiguousarray(tok_words, np.uint32)
         r = np.ascontiguousarray(res_words, np.uint32)
         lut = np.ascontiguousarray(tok_lut, np.uint16)
+        tok_classes = lut.size // 4096
         cm = np.ascontiguousarray(cluster_map, np.uint8)
         to = np.ascontiguousarray(tok_bit_offs, np.int64)
         ro = np.ascontiguousarray(res_bit_offs, np.int64)
@@ -310,8 +312,8 @@ class NativeHF:
             n_threads = min(os.cpu_count() or 1, 8)
         ret = self._lib.hyd_hf_add_lfg_packed(
             self._h, t.ctypes.data, r.ctypes.data, lut.ctypes.data,
-            cm.ctypes.data, preset, gcy, gcx, vh, vw, to.ctypes.data,
-            ro.ctypes.data, sc.ctypes.data, n_threads)
+            tok_classes, cm.ctypes.data, preset, gcy, gcx, vh, vw,
+            to.ctypes.data, ro.ctypes.data, sc.ctypes.data, n_threads)
         if ret != 0:
             raise RuntimeError(
                 "packed walk failed (symbol-count mismatch / corrupt stream)")

@@ -4,13 +4,23 @@ The device pipeline ships HF hybrid-uint tokens (alphabet 0..63 under
 config (4,1,0)) over the interconnect.  Shipping them as flat 6-bit
 fields costs ~2x their entropy on real content, so the packed payload
 (ops/pipeline.py encode_lfg_packed) Huffman-codes them with a *transport*
-code that never appears in the .jxl bitstream: the host picks code
-lengths from the previous LF group's token histogram (shipped back in
-the aux payload), sends the 64-entry codeword table to the device with
-the next dispatch, and the C++ walker (cpp/serializer.cc) decodes with a
-4096-entry LUT.  Decodability is unconditional -- every symbol always
-has a code (add-one smoothing), so a distribution mismatch only costs
-compression, never correctness.
+code that never appears in the .jxl bitstream.
+
+The code is CONTEXT-SPLIT: each symbol's table is selected by its
+within-preset cluster id (0..8 -- the same 9-way context clustering the
+final ANS stream uses, encoder.c:855-901).  Both sides know the cluster
+before the token is decoded (contexts depend only on previously decoded
+symbols -- that is exactly how the C++ walker reconstructs clusters), so
+per-cluster tables cost nothing in decodability and close most of the
+gap between a single global Huffman table and the context-modeled ANS
+size (~30% on noisy 4K content).
+
+The host picks code lengths from the previous LF group's per-class token
+histogram (shipped back in the aux payload), sends the 9x64 codeword
+table to the device with the next dispatch, and the C++ walker decodes
+with one 4096-entry LUT per class.  Decodability is unconditional --
+every symbol always has a code in every class (add-one smoothing), so a
+distribution mismatch only costs compression, never correctness.
 
 Reuses the depth-limited Huffman + canonical bit-reversed code
 construction already validated byte-exactly against the reference
@@ -25,6 +35,7 @@ import numpy as np
 from .entropy import build_huffman_lengths, build_prefix_table
 
 ALPHABET = 64
+NCLASS = 9            # within-preset clusters (tables.hf_cluster_map)
 MAX_LEN = 12          # bounds the device-side stream buffer at 12 bits/slot
 LUT_BITS = 12
 
@@ -34,47 +45,59 @@ def _default_prior() -> np.ndarray:
     content concentrates mass on small tokens; entropy.c hybridize)."""
     t = np.arange(ALPHABET, dtype=np.float64)
     f = np.maximum(1, (4000.0 * 0.72 ** t)).astype(np.int64)
-    return f
+    return np.tile(f, (NCLASS, 1))
 
 
 def build_tables(freqs: np.ndarray) -> Tuple[np.ndarray, np.ndarray,
                                              np.ndarray]:
-    """freqs[64] -> (lengths i32[64], codewords u32[64] LSB-first,
-    decode LUT u16[4096] with entry = symbol | (length << 8))."""
-    smoothed = np.asarray(freqs, np.int64) + 1
-    lengths = build_huffman_lengths([int(v) for v in smoothed], ALPHABET,
-                                    MAX_LEN)
-    table = build_prefix_table(lengths, ALPHABET)
-    lens = np.zeros(ALPHABET, np.int32)
-    codes = np.zeros(ALPHABET, np.uint32)
-    lut = np.zeros(1 << LUT_BITS, np.uint16)
-    for sym, (cw, ln) in enumerate(table):
-        assert 1 <= ln <= MAX_LEN, (sym, ln)
-        lens[sym] = ln
-        codes[sym] = cw
-        idx = cw + (np.arange(1 << (LUT_BITS - ln), dtype=np.uint32) << ln)
-        lut[idx] = sym | (ln << 8)
+    """freqs[NCLASS, 64] -> (lengths i32[NCLASS*64],
+    codewords u32[NCLASS*64] LSB-first, decode LUTs u16[NCLASS, 4096]
+    with entry = symbol | (length << 8)); index = class*64 + token."""
+    freqs = np.asarray(freqs, np.int64).reshape(NCLASS, ALPHABET)
+    lens = np.zeros(NCLASS * ALPHABET, np.int32)
+    codes = np.zeros(NCLASS * ALPHABET, np.uint32)
+    lut = np.zeros((NCLASS, 1 << LUT_BITS), np.uint16)
+    for k in range(NCLASS):
+        smoothed = freqs[k] + 1
+        lengths = build_huffman_lengths([int(v) for v in smoothed],
+                                        ALPHABET, MAX_LEN)
+        table = build_prefix_table(lengths, ALPHABET)
+        for sym, (cw, ln) in enumerate(table):
+            assert 1 <= ln <= MAX_LEN, (k, sym, ln)
+            lens[k * ALPHABET + sym] = ln
+            codes[k * ALPHABET + sym] = cw
+            idx = cw + (np.arange(1 << (LUT_BITS - ln),
+                                  dtype=np.uint32) << ln)
+            lut[k, idx] = sym | (ln << 8)
     return lens, codes, lut
 
 
 class TokenCodec:
     """Adaptive transport code: updated from each LF group's device-side
-    token histogram, applied to the next dispatch."""
+    per-class token histogram, applied to the next dispatch.
 
-    __slots__ = ("freqs", "_tables")
+    `cold` is True until the first real histogram arrives; a cold codec
+    only has the generic prior, which costs ~1 b/sym on real content --
+    cold dispatches therefore bootstrap with a cheap aux-only fetch
+    (encoder._JaxDispatch.prefetch) before pulling the big payload."""
+
+    __slots__ = ("freqs", "_tables", "cold")
 
     def __init__(self) -> None:
         self.freqs = _default_prior()
         self._tables = None
+        self.cold = True
 
-    def update(self, hist64: np.ndarray) -> None:
-        """Fold in one LF group's exact token histogram (aux payload).
-        Exponential decay keeps the code tracking content changes."""
-        h = np.asarray(hist64, np.int64)
+    def update(self, hist: np.ndarray) -> None:
+        """Fold in one LF group's exact [NCLASS, 64] token histogram
+        (aux payload).  Exponential decay keeps the code tracking
+        content changes."""
+        h = np.asarray(hist, np.int64).reshape(NCLASS, ALPHABET)
         if h.sum() <= 0:
             return
         self.freqs = self.freqs // 2 + h
         self._tables = None
+        self.cold = False
 
     def tables(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         if self._tables is None:

@@ -368,8 +368,8 @@ def encode_lfg(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
 #                (the dev rig's remote-TPU tunnel has shown transient
 #                 data corruption; the host verifies, refetches once,
 #                 then falls back to the unpacked path)
-#     [8:72]     token histogram (64 bins; feeds the NEXT dispatch's
-#                transport code, jxl/tokcode.py)
+#     [8:584]    per-class token histogram (9 x 64 bins; feeds the NEXT
+#                dispatch's transport code, jxl/tokcode.py)
 #     [..+G]     per-group symbol counts
 #     [..+G]     per-group residue bit counts
 #     [..+G]     per-group token bit counts
@@ -378,11 +378,13 @@ def encode_lfg(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
 #     varblock grid; Huffman-coded tokens (transport code; <= 12
 #     bits/token); raw residue bits.
 #
-# Tokens are transport-Huffman-coded with a host-supplied 64-entry code
-# (near-entropy, ~2-3x smaller than the former flat 6-bit fields); the
-# valid-length array of format v1 is gone entirely -- the walker
-# reconstructs each block-channel's symbol count from the decoded
-# nonzero count, exactly as a JXL decoder does (encoder.c:689-750).
+# Tokens are transport-Huffman-coded with host-supplied per-cluster
+# codes (9 classes, selected by the same within-preset context
+# clustering the final ANS stream uses -- both sides know a symbol's
+# cluster before decoding it); the valid-length array of format v1 is
+# gone entirely -- the walker reconstructs each block-channel's symbol
+# count from the decoded nonzero count, exactly as a JXL decoder does
+# (encoder.c:689-750).
 
 
 def _bitpack(values: jnp.ndarray, nbits: jnp.ndarray,
@@ -410,23 +412,27 @@ def _bitpack(values: jnp.ndarray, nbits: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("buf_h", "buf_w", "linear_light",
                                    "num_clusters", "sample_kind",
-                                   "use_pallas", "lf_seg_vb"))
+                                   "use_pallas", "lf_seg_vb",
+                                   "tok_classes"))
 def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
                       cluster_map: jnp.ndarray, tok_len: jnp.ndarray,
                       tok_code: jnp.ndarray, *, buf_h: int, buf_w: int,
                       linear_light: bool, num_clusters: int,
                       sample_kind: str,
                       use_pallas: bool = False,
-                      lf_seg_vb: int = 0) -> Dict[str, jnp.ndarray]:
+                      lf_seg_vb: int = 0,
+                      tok_classes: int = 9) -> Dict[str, jnp.ndarray]:
     """encode_lfg + on-device stream packing to minimize interconnect
     traffic (payload format v2, see module comment above).
 
-    tok_len[64]/tok_code[64]: transport Huffman code for the token
-    stream (jxl/tokcode.py), LSB-first codewords, lengths 1..12.  The
-    ok flag drops (-> unpacked fallback) only when a token exceeds the
-    64-symbol transport alphabet or the residue stream overflows its
-    24-bit/slot budget; LF residuals can no longer overflow (their
-    field width is dynamic)."""
+    tok_len[9*64]/tok_code[9*64]: per-cluster transport Huffman codes
+    for the token stream (jxl/tokcode.py), LSB-first codewords, lengths
+    1..12, indexed class*64+token where class = cluster % tok_classes
+    (the within-preset cluster id; tok_classes = clusters per preset,
+    9/3/2/1 per tables.hf_cluster_map).  The ok flag drops (-> unpacked
+    fallback) only when a token exceeds the 64-symbol transport alphabet
+    or the residue stream overflows its 24-bit/slot budget; LF residuals
+    can no longer overflow (their field width is dynamic)."""
     out = encode_lfg(pixels, height, width, presets, cluster_map,
                      buf_h=buf_h, buf_w=buf_w, linear_light=linear_light,
                      num_clusters=num_clusters, sample_kind=sample_kind,
@@ -445,14 +451,19 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
     t_idx = jnp.where(valid, jnp.minimum(tokens, 63), 0).astype(
         jnp.int32).reshape(M)
     mask_i32 = valid.astype(jnp.int32).reshape(M)
-    t_flat = jnp.where(mask_i32 > 0, tok_code[t_idx].astype(jnp.uint32), 0)
-    t_bits = tok_len[t_idx].astype(jnp.int32) * mask_i32
+    # transport class = within-preset cluster id, known to the walker
+    # before each token is decoded
+    cls = (out["clusters"].astype(jnp.int32) % tok_classes).reshape(M)
+    ct_idx = cls * 64 + t_idx
+    t_flat = jnp.where(mask_i32 > 0, tok_code[ct_idx].astype(jnp.uint32), 0)
+    t_bits = tok_len[ct_idx].astype(jnp.int32) * mask_i32
     r_flat = jnp.where(valid, residues, 0).reshape(M)
     r_bits = jnp.where(valid, residue_bits.astype(jnp.int32), 0).reshape(M)
 
-    # exact token histogram (of *clamped* indices; exact whenever ok --
-    # max hybrid-uint token for 32-bit values is 71, and ok requires <64)
-    hist64 = jnp.zeros((64,), jnp.int32).at[t_idx].add(mask_i32)
+    # exact per-class token histogram (of *clamped* indices; exact
+    # whenever ok -- max hybrid-uint token for 32-bit values is 71, and
+    # ok requires <64)
+    hist64 = jnp.zeros((9 * 64,), jnp.int32).at[ct_idx].add(mask_i32)
 
     tok_cap_words = (M * 12 + 31) // 32      # MAX_LEN = 12 (tokcode.py)
     res_cap_words = (M * 24 + 31) // 32
@@ -518,14 +529,14 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
 
 # aux layout constants (format v2); see the module comment above
 AUX_SCALARS = 8
-AUX_HIST = slice(8, 72)
+AUX_HIST = slice(8, 8 + 9 * 64)
 
 
 def packed_aux_len(buf_h: int, buf_w: int) -> int:
     """Length (in 32-bit words) of the fixed aux prefix of the combined
     packed payload for a given buffer shape (format v2)."""
     G = (buf_h >> 8) * (buf_w >> 8)
-    return AUX_SCALARS + 64 + 3 * G
+    return AUX_SCALARS + 9 * 64 + 3 * G
 
 
 def packed_lf_len(buf_h: int, buf_w: int, lf_w: int) -> int:

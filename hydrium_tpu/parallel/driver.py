@@ -1,11 +1,11 @@
 """Sharded one-frame encoding: LF groups data-parallel over a device
-mesh, histograms combined with an ICI psum, bitstream assembled host-side.
+mesh, bitstream assembled host-side.
 
 This is the scaling story mandated by SURVEY.md sections 2/5: 2048x2048
 LF groups are the shard unit (no halo exchange is needed -- LF prediction
-and nz prediction never cross LFG/group boundaries), per-preset
-histograms are the only cross-shard data, and the variable-length group
-sections are gathered on the host.
+and nz prediction never cross LFG/group boundaries), histogram presets
+align with shard boundaries (so there is no cross-shard reduction), and
+the variable-length group sections are gathered on the host.
 
 Output bytes are identical to the single-device Encoder for the same
 image (same math path, same serialization)."""
@@ -61,9 +61,10 @@ def encode_image_sharded(image: np.ndarray, mesh=None,
                          sample_fmt: str = "uint8") -> bytes:
     """Encode [H, W, 3] as a one-frame .jxl with LFGs sharded over a mesh.
 
-    Processes ceil(n_lfgs / mesh_size) batches; each batch runs the full
-    device pipeline under shard_map (one LFG per device) and psums the
-    per-cluster histograms so any host can write the shared ANS header."""
+    Processes ceil(n_lfgs / mesh_size) batches; each batch runs the
+    packed device pipeline under shard_map (one LFG per device); the
+    host walks every shard's payload and writes the shared ANS header
+    from its own recount (presets align with shards)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -106,7 +107,8 @@ def encode_image_sharded(image: np.ndarray, mesh=None,
                 px, hh, ww, jnp.full((64,), pr, jnp.int32), cm_dev,
                 lens_dev, codes_dev,
                 buf_h=2048, buf_w=2048, linear_light=linear_light,
-                num_clusters=num_clusters, sample_kind=sample_fmt)
+                num_clusters=num_clusters, sample_kind=sample_fmt,
+                tok_classes=num_clusters // geo.num_presets)
         return jax.vmap(one)(pixels, heights, widths, presets)
 
     step = jax.jit(step)
