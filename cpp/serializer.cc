@@ -1058,7 +1058,13 @@ int hyd_hf_add_lfg_packed(HydHF* h, const uint32_t* token_words,
   worker(0);
   for (auto& th : threads) th.join();
   for (int t = 0; t < n_threads; t++) {
-    if (errs[t]) return -1;
+    if (errs[t]) {
+      // roll the symbol array back so the HydHF stays usable: callers
+      // (multi-host with_retry) may retry the whole LF group after a
+      // transient corrupt transfer
+      h->syms.resize(base);
+      return -1;
+    }
     h->max_alphabet_size = std::max(h->max_alphabet_size, maxa[t]);
     for (size_t c = 0; c < h->num_clusters; c++)
       h->alphabet_sizes[c] = std::max(h->alphabet_sizes[c], alpha[t][c]);

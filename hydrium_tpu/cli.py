@@ -66,7 +66,9 @@ def _open_input(path: str, is_pfm: bool):
         from .utils.pngio import PNGReader
 
         return PNGReader(fobj)
-    except ValueError:
+    except Exception:
+        # unsupported/malformed-for-us PNG (interlaced, exotic header,
+        # truncated chunk): let PIL try from the start
         if path == "-":
             raise
         fobj.seek(0)

@@ -237,7 +237,8 @@ class _JaxDispatch:
 
     __slots__ = ("out", "lfg", "preset", "buf_h", "buf_w", "kwargs",
                  "presets_dev", "cm_dev", "px", "_aux", "_words",
-                 "_pf_thread", "tok_lut", "_codec", "stats")
+                 "_pf_thread", "_pf_ran", "_hist_folded", "tok_lut",
+                 "_codec", "stats")
 
     # per-buffer-shape guess of the stream word count, fed back from the
     # previous LF group so the combined payload usually needs ONE fetch
@@ -288,6 +289,8 @@ class _JaxDispatch:
         self._aux = None
         self._words = None
         self._pf_thread = None
+        self._pf_ran = False
+        self._hist_folded = False
 
     def _dispatch(self) -> None:
         """(Re)dispatch the packed pipeline with a snapshot of the
@@ -298,7 +301,10 @@ class _JaxDispatch:
         from .ops.pipeline import encode_lfg_packed
 
         lens, codes, lut = self._codec.tables()
-        self.tok_lut = lut
+        # slice the LUT to this frame's class count so the walker's
+        # class = cluster %% (lut.size/4096) matches the device's
+        # class = cluster %% tok_classes exactly
+        self.tok_lut = lut[:self.kwargs["tok_classes"]]
         self.out = encode_lfg_packed(
             self.px, self.lfg.height, self.lfg.width, self.presets_dev,
             self.cm_dev, jnp.asarray(lens), jnp.asarray(codes),
@@ -333,6 +339,10 @@ class _JaxDispatch:
         first = _fetch_prefix(combined, A + hint)
         aux = np.ascontiguousarray(first[:A]).view(np.int32)
         words = None
+        if not packed_verify(aux, None, self.buf_h, self.buf_w):
+            # corrupt aux: do not trust its stream sizes (they would
+            # poison the fetch hint and trigger a giant range fetch)
+            return aux, None
         if bool(aux[0]):
             need = packed_need_words(aux, self.buf_h, self.buf_w)
             self._HINTS[key] = need
@@ -358,6 +368,7 @@ class _JaxDispatch:
         length; a ranged top-up only when the guess was short.  Payload
         checksums are verified; a corrupt transfer is refetched once,
         then surrendered to the unpacked fallback."""
+        self._pf_ran = True
         try:
             if self._codec is not None and self._codec.cold:
                 # cold-start bootstrap: the generic prior costs ~1 b/sym
@@ -373,6 +384,7 @@ class _JaxDispatch:
                 aux0 = np.ascontiguousarray(first[:A]).view(np.int32)
                 if packed_verify(aux0, None, self.buf_h, self.buf_w):
                     self._codec.update(aux0[8:584])
+                    self._hist_folded = True
                     if not self._codec.cold:
                         self._dispatch()
                         if self.stats is not None:
@@ -382,7 +394,9 @@ class _JaxDispatch:
                 if packed_verify(aux, words, self.buf_h, self.buf_w):
                     self._aux = aux
                     self._words = words
-                    if self._codec is not None:
+                    if self._codec is not None and not self._hist_folded:
+                        # (the cold-start bootstrap already folded this
+                        # LF group's histogram in)
                         self._codec.update(aux[8:584])
                     return
                 if self.stats is not None:
@@ -417,7 +431,7 @@ class _JaxDispatch:
         vh, vw = (lfg.height + 7) >> 3, (lfg.width + 7) >> 3
 
         if self.out is not None:
-            if self._aux is None:
+            if self._aux is None and not self._pf_ran:
                 with stage("fetch_aux"):
                     self.prefetch()
             aux = self._aux

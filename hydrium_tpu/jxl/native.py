@@ -315,6 +315,8 @@ class NativeHF:
             tok_classes, cm.ctypes.data, preset, gcy, gcx, vh, vw,
             to.ctypes.data, ro.ctypes.data, sc.ctypes.data, n_threads)
         if ret != 0:
+            # the C++ side rolls its symbol array back on failure, so
+            # this HydHF remains usable and the caller may retry
             raise RuntimeError(
                 "packed walk failed (symbol-count mismatch / corrupt stream)")
 

@@ -100,6 +100,11 @@ class TokenCodec:
         self.cold = False
 
     def tables(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        if self._tables is None:
-            self._tables = build_tables(self.freqs)
-        return self._tables
+        # read into a local: update() (prefetch worker thread) may null
+        # the cache concurrently, and returning self._tables directly
+        # could then yield None
+        t = self._tables
+        if t is None:
+            t = build_tables(self.freqs)
+            self._tables = t
+        return t

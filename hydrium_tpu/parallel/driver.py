@@ -96,6 +96,7 @@ def encode_image_sharded(image: np.ndarray, mesh=None,
 
     codec = TokenCodec()
     lens, codes, tok_lut = codec.tables()
+    tok_lut = tok_lut[:num_clusters // geo.num_presets]   # match device classes
     lens_dev, codes_dev = jnp.asarray(lens), jnp.asarray(codes)
 
     @partial(jax.shard_map, mesh=mesh,

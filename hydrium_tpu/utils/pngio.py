@@ -61,12 +61,18 @@ def _unfilter_py(cur: bytearray, prev: Optional[bytes], bpp: int,
 class PNGReader:
     """Incremental row reader over a seekless binary stream."""
 
+    # inflate at most this much ahead of the consumer: keeps residency
+    # at ~one strip even for PNGs written as a single giant IDAT chunk
+    MAX_INFLATE_AHEAD = 8 << 20
+
     def __init__(self, f: BinaryIO) -> None:
         self._f = f
         if f.read(8) != _SIG:
             raise ValueError("not a PNG file")
         self._inflate = zlib.decompressobj()
-        self._pending = b""          # inflated bytes not yet consumed
+        self._pending = bytearray()  # inflated bytes not yet consumed
+        self._pend_off = 0           # consumed prefix of _pending
+        self._ztail = b""            # compressed bytes awaiting inflate
         self._chunks_done = False
         self._palette: Optional[np.ndarray] = None
         self._row_read = 0
@@ -74,6 +80,8 @@ class PNGReader:
         length, ctype, data = self._next_chunk()
         if ctype != b"IHDR":
             raise ValueError("missing IHDR")
+        if len(data) != 13:
+            raise ValueError("bad IHDR length")
         (self.width, self.height, self.bit_depth, self.color_type,
          comp, filt, interlace) = struct.unpack(">IIBBBBB", data)
         if comp != 0 or filt != 0:
@@ -100,18 +108,30 @@ class PNGReader:
             raise ValueError("truncated PNG")
         length, ctype = struct.unpack(">I4s", hdr)
         data = self._f.read(length)
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
         self._f.read(4)  # CRC (not verified; zlib adler catches corruption)
         return length, ctype, data
 
     def _more_inflated(self) -> bool:
-        """Advance chunks until more inflated bytes exist; False at end."""
+        """Inflate up to MAX_INFLATE_AHEAD more bytes; False at end.
+        Bounded: a single giant IDAT chunk is inflated incrementally via
+        max_length + unconsumed_tail, never materializing the image."""
+        cap = self.MAX_INFLATE_AHEAD
+        if self._ztail:
+            out = self._inflate.decompress(self._ztail, cap)
+            self._ztail = self._inflate.unconsumed_tail
+            if out:
+                self._pending += out
+                return True
         while not self._chunks_done:
             _, ctype, data = self._next_chunk()
             if ctype == b"PLTE":
                 self._palette = np.frombuffer(
                     data, np.uint8).reshape(-1, 3).copy()
             elif ctype == b"IDAT":
-                out = self._inflate.decompress(data)
+                out = self._inflate.decompress(data, cap)
+                self._ztail = self._inflate.unconsumed_tail
                 if out:
                     self._pending += out
                     return True
@@ -124,10 +144,18 @@ class PNGReader:
         return False
 
     def _take(self, n: int) -> bytes:
-        while len(self._pending) < n:
+        """Next n inflated bytes (a copy -- one scanline, so O(total)
+        overall; a consumed-prefix cursor avoids the O(n^2) re-slicing
+        of the whole pending buffer per row)."""
+        while len(self._pending) - self._pend_off < n:
             if not self._more_inflated():
                 raise ValueError("PNG pixel data ended early")
-        out, self._pending = self._pending[:n], self._pending[n:]
+        off = self._pend_off
+        self._pend_off = off + n
+        out = bytes(memoryview(self._pending)[off:off + n])
+        if self._pend_off >= (self.MAX_INFLATE_AHEAD >> 1):
+            del self._pending[:self._pend_off]
+            self._pend_off = 0
         return out
 
     # -- row API --------------------------------------------------------

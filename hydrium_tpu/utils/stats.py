@@ -7,6 +7,7 @@ and `jax.profiler` tracing can wrap the device pipeline."""
 from __future__ import annotations
 
 import contextlib
+import threading
 import time
 from collections import defaultdict
 from dataclasses import dataclass, field
@@ -22,6 +23,9 @@ class EncodeStats:
     section_sizes: List[int] = field(default_factory=list)
     counters: Dict[str, int] = field(default_factory=lambda: defaultdict(int))
     last_error: Optional[str] = None
+    # counters/stages are updated from prefetch worker threads too
+    _lock: threading.Lock = field(default_factory=threading.Lock,
+                                  repr=False, compare=False)
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -29,10 +33,13 @@ class EncodeStats:
         try:
             yield
         finally:
-            self.stage_seconds[name] += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self.stage_seconds[name] += dt
 
     def count(self, name: str, n: int = 1) -> None:
-        self.counters[name] += n
+        with self._lock:
+            self.counters[name] += n
 
     @property
     def mpixels_per_sec(self) -> float:

@@ -133,11 +133,7 @@ rc = cli.main([png_path, out_path, "--one-frame", "--stats"])
 dt = time.perf_counter() - t0
 assert rc == 0
 size = os.path.getsize(out_path)
-peak = 0.0
-with open("/proc/self/status") as f:
-    for line in f:
-        if line.startswith("VmHWM:"):
-            peak = int(line.split()[1]) / 1024.0
+peak = cli._peak_rss_mb()
 with open(out_path, "rb") as f:
     sig = f.read(8)
 level10 = sig[:2] != b"\\xff\\x0a"
