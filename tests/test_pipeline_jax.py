@@ -151,3 +151,80 @@ def test_lf_residuals_match():
     lf_q = out["lf_q"][:vh, :vw]
     res = np_ops.pack_signed(np_ops.lf_predict_residuals(lf_q))
     assert np.array_equal(out["lf_res"][:vh, :vw], res)
+
+
+def test_packed_walk_class_count_contract():
+    """Frames with >= 29 presets use 3 clusters per preset, so the
+    transport-code class modulus is 3, not 9 -- the device packs with
+    class = cluster % 3 and the walker must select tables the same way
+    (it derives the modulus from the LUT slice it is given).  Regression
+    test for the round-2 review finding: with a warmed codec whose 9
+    class tables differ, a preset not divisible by 3 walks garbage if
+    the contract is broken."""
+    import jax.numpy as jnp
+
+    from hydrium_tpu.jxl import native
+    from hydrium_tpu.jxl.frame import HFStream, LFGroupGeometry
+    from hydrium_tpu.jxl.tokcode import TokenCodec
+    from hydrium_tpu.ops import pipeline, tables
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native plane required")
+
+    num_presets = 32
+    cm = tables.hf_cluster_map(num_presets)
+    num_clusters = int(cm.max()) + 1
+    per = num_clusters // num_presets
+    assert per == 3
+
+    codec = TokenCodec()
+    h = np.zeros((9, 64), np.int64)
+    h[0, 0] = 100000
+    h[1, 5] = 100000
+    h[2, 17] = 50000
+    codec.update(h)          # class tables now differ strongly
+    lens, codes, lut = codec.tables()
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
+    preset = 17              # 17 % 3 != 0: exercises the modulus
+    kwargs = dict(buf_h=256, buf_w=256, linear_light=False,
+                  num_clusters=num_clusters, sample_kind="uint8")
+
+    out_p = pipeline.encode_lfg_packed(
+        jnp.asarray(img), 256, 256, jnp.full((1,), preset, jnp.int32),
+        jnp.asarray(cm), jnp.asarray(lens), jnp.asarray(codes),
+        tok_classes=per, **kwargs)
+    combined = np.asarray(out_p["combined"])
+    from hydrium_tpu.encoder import _parse_packed, packed_verify
+
+    A = pipeline.packed_aux_len(256, 256)
+    aux = np.ascontiguousarray(combined[:A]).view(np.int32)
+    assert bool(aux[0]) and packed_verify(aux, combined[A:], 256, 256)
+    geom = LFGroupGeometry(x=0, y=0, width=256, height=256,
+                           tile_count_x=1, tile_count_y=1)
+    parsed = _parse_packed(aux, combined[A:], 256, 256, geom)
+
+    hf_a = HFStream(num_presets)
+    hf_a.add_lfg_packed(parsed["tok_words"], parsed["res_words"],
+                        lut[:per], preset, (1, 1), (32, 32),
+                        parsed["tok_off"], parsed["res_off"], parsed["gs"])
+    hf_a.encode_group_sections()
+
+    out_u = pipeline.encode_lfg(
+        jnp.asarray(img), 256, 256, jnp.full((1,), preset, jnp.int32),
+        jnp.asarray(cm), **kwargs)
+    hf_b = HFStream(num_presets)
+    hf_b.add_group_padded(np.asarray(out_u["tokens"]).reshape(1024, 3, 64),
+                          np.asarray(out_u["clusters"]).reshape(1024, 3, 64),
+                          np.asarray(out_u["residues"]).reshape(1024, 3, 64),
+                          np.asarray(out_u["residue_bits"]).reshape(1024, 3, 64),
+                          np.asarray(out_u["valid_len"]).reshape(1024, 3),
+                          preset)
+    hf_b.encode_group_sections()
+
+    a = [w.finalize() for w in hf_a.group_sections]
+    b = [w.finalize() for w in hf_b.group_sections]
+    assert a == b
