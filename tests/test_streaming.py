@@ -79,3 +79,34 @@ def test_streaming_sections_follow_arrival_order():
     assert [k[0] for k in keys] == [0, 1, 2, 3]
     secs = list(hf.iter_sections())
     assert len(secs) == 4
+
+
+def test_spooled_streaming_bytes_equal_and_iter_output():
+    """Spooling LF+HF sections to disk and draining via iter_output must
+    produce exactly the in-RAM streaming bytes (bounded-output finalize
+    is a transport change, not a format change)."""
+    import tempfile
+
+    import numpy as np
+
+    from hydrium_tpu.config import ImageMetadata, SampleFormat
+    from hydrium_tpu.encoder import Encoder
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (300, 4100, 3), dtype=np.uint8)
+    meta = ImageMetadata(width=4100, height=300)
+
+    def run(spool_dir, use_iter):
+        enc = Encoder(meta, backend="jax", streaming=True,
+                      spool_dir=spool_dir)
+        for tx in range(3):
+            enc.send_tile(img[:, tx * 2048:(tx + 1) * 2048], tx, 0,
+                          sample_fmt=SampleFormat.UINT8)
+        if use_iter:
+            return b"".join(enc.iter_output(chunk_size=1 << 16))
+        return enc.take_output()
+
+    ram = run(None, False)
+    with tempfile.TemporaryDirectory() as d:
+        spooled = run(d, True)
+    assert ram == spooled
