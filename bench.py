@@ -112,7 +112,7 @@ def main():
     from hydrium_tpu.config import ImageMetadata, SampleFormat
     from hydrium_tpu.encoder import Encoder
 
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     img = make_4k_noisy()
     pixels = img.shape[0] * img.shape[1]
 
@@ -164,4 +164,4 @@ if __name__ == "__main__":
         main()
     else:
         sys.exit(parent(int(sys.argv[1]) if len(sys.argv) > 1
-                        and sys.argv[1].isdigit() else 2))
+                        and sys.argv[1].isdigit() else 4))

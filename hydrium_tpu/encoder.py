@@ -77,19 +77,56 @@ def _pl_default() -> bool:
 
 
 _SHARED_CODEC = None
+_WARM_CACHE = os.path.expanduser("~/.cache/hydrium_tpu/warm.npz")
+_HINTS_CACHE = os.path.expanduser("~/.cache/hydrium_tpu/hints.json")
 
 
 def _shared_codec():
     """One adaptive transport codec per process, shared across Encoders
     (like the fetch-size hints): the code never affects output bytes,
     only transfer size, and a warm code saves ~1 bit/symbol over the
-    generic prior on the first LF groups of every subsequent encode."""
+    generic prior on the first LF groups of every subsequent encode.
+    State persists across processes (~/.cache/hydrium_tpu) -- stale
+    state costs compression until adaptation catches up, never
+    correctness."""
     global _SHARED_CODEC
     if _SHARED_CODEC is None:
         from .jxl.tokcode import TokenCodec
 
-        _SHARED_CODEC = TokenCodec()
+        _SHARED_CODEC = TokenCodec(cache_path=_WARM_CACHE)
+        _load_hints()
     return _SHARED_CODEC
+
+
+def _load_hints() -> None:
+    try:
+        import json
+
+        with open(_HINTS_CACHE) as f:
+            for k, v in json.load(f).items():
+                bh, bw = k.split("x")
+                _JaxDispatch._HINTS.setdefault((int(bh), int(bw)), int(v))
+    except Exception:
+        pass
+
+
+def _save_warm_state() -> None:
+    """Persist the codec + fetch hints (best effort, called at encode
+    finalize)."""
+    try:
+        import json
+
+        if _SHARED_CODEC is not None and not _SHARED_CODEC.cold:
+            _SHARED_CODEC.save(_WARM_CACHE)
+        if _JaxDispatch._HINTS:
+            os.makedirs(os.path.dirname(_HINTS_CACHE), exist_ok=True)
+            tmp = _HINTS_CACHE + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({f"{k[0]}x{k[1]}": int(v)
+                           for k, v in _JaxDispatch._HINTS.items()}, f)
+            os.replace(tmp, _HINTS_CACHE)
+    except Exception:
+        pass
 
 
 def _bucket_words(n: int, cap: int) -> int:
@@ -742,6 +779,8 @@ class Encoder:
         self._out.extend(asm.working.finalize())
         if last:
             self._finished = True
+            if self.backend == "jax":
+                _save_warm_state()
 
     def _send_tile_tiled(self, pixels, tile_x, tile_y, is_last, fmt) -> None:
         m = self.metadata
@@ -1029,6 +1068,8 @@ class Encoder:
 
             self._emit_iter = emit()
             self._finished = True
+            if self.backend == "jax":
+                _save_warm_state()
             return
 
         asm = self._assembler
@@ -1046,6 +1087,8 @@ class Encoder:
         self._out.extend(main.finalize())
         self._out.extend(asm.working.finalize())
         self._finished = True
+        if self.backend == "jax":
+            _save_warm_state()
 
 
 def encode_image(image: np.ndarray, tile_size_shift: int = -1,

@@ -79,14 +79,45 @@ class TokenCodec:
     `cold` is True until the first real histogram arrives; a cold codec
     only has the generic prior, which costs ~1 b/sym on real content --
     cold dispatches therefore bootstrap with a cheap aux-only fetch
-    (encoder._JaxDispatch.prefetch) before pulling the big payload."""
+    (encoder._JaxDispatch.prefetch) before pulling the big payload.
+
+    State optionally persists across processes (load/save): a stale code
+    only costs compression until adaptation catches up, never
+    correctness, so warm-starting fresh CLI/bench processes is free."""
 
     __slots__ = ("freqs", "_tables", "cold")
 
-    def __init__(self) -> None:
+    def __init__(self, cache_path=None) -> None:
         self.freqs = _default_prior()
         self._tables = None
         self.cold = True
+        if cache_path:
+            self.load(cache_path)
+
+    def load(self, path) -> None:
+        try:
+            import os
+
+            if os.path.exists(path):
+                f = np.load(path)["freqs"]
+                if f.shape == (NCLASS, ALPHABET) and f.sum() > 0:
+                    self.freqs = f.astype(np.int64)
+                    self._tables = None
+                    self.cold = False
+        except Exception:
+            pass
+
+    def save(self, path) -> None:
+        try:
+            import os
+
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                np.savez(f, freqs=self.freqs)
+            os.replace(tmp, path)
+        except Exception:
+            pass
 
     def update(self, hist: np.ndarray) -> None:
         """Fold in one LF group's exact [NCLASS, 64] token histogram
