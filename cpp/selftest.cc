@@ -130,10 +130,10 @@ static void test_hf_padded_and_packed() {
     return r;
   };
   // 9 classes, all using the same fixed 6-bit code
-  std::vector<uint16_t> lut(9 * 4096);
+  std::vector<uint16_t> lut(9 * 256);
   for (int k = 0; k < 9; k++)
-    for (uint32_t idx = 0; idx < 4096; idx++)
-      lut[k * 4096 + idx] = (uint16_t)(rev6(idx & 63) | (6 << 8));
+    for (uint32_t idx = 0; idx < 256; idx++)
+      lut[k * 256 + idx] = (uint16_t)(rev6(idx & 63) | (6 << 8));
   std::vector<uint32_t> tw, rw;
   uint64_t tcache = 0, rcache = 0;
   int tbits = 0, rbitsn = 0;

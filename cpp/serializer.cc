@@ -885,13 +885,14 @@ static const int32_t kCoeffNumNzCtx[64] = {
 struct BitReader {
   const uint32_t* words;
   size_t bitpos = 0;
-  // 12-bit lookahead for LUT prefix decode; callers guarantee one slack
-  // word past the last payload word (the host fetches +1).
-  uint32_t peek12() const {
+  // 8-bit lookahead for LUT prefix decode (transport codes are <= 8
+  // bits); callers guarantee one slack word past the last payload word
+  // (the host fetches +1).
+  uint32_t peek8() const {
     size_t w = bitpos >> 5;
     int s = bitpos & 31;
     uint64_t v = ((uint64_t)words[w] | ((uint64_t)words[w + 1] << 32)) >> s;
-    return (uint32_t)v & 0xFFF;
+    return (uint32_t)v & 0xFF;
   }
   uint32_t read(int nbits) {
     if (!nbits) return 0;
@@ -946,7 +947,7 @@ static size_t walk_group_packed(const uint32_t* token_words, long tok_bit_off,
                              ? predicted
                              : 4 + (std::min<uint32_t>(predicted, 64) >> 1);
         uint8_t cluster = cmap[3 * nzctx + c];
-        uint16_t e = lut[(cluster % tok_classes) * 4096 + tr.peek12()];
+        uint16_t e = lut[(cluster % tok_classes) * 256 + tr.peek8()];
         uint32_t tok = e & 0xFF;
         tr.bitpos += e >> 8;
         int rb = tok < 16 ? 0 : (int)((tok - 16) >> 1) + 3;
@@ -973,7 +974,7 @@ static size_t walk_group_packed(const uint32_t* token_words, long tok_bit_off,
                     ((kCoeffNumNzCtx[remaining > 63 ? 63 : remaining]
                       + kCoeffFreqCtx[k]) << 1);
           uint8_t cl2 = cmap[ctx];
-          e = lut[(cl2 % tok_classes) * 4096 + tr.peek12()];
+          e = lut[(cl2 % tok_classes) * 256 + tr.peek8()];
           tok = e & 0xFF;
           tr.bitpos += e >> 8;
           rb = tok < 16 ? 0 : (int)((tok - 16) >> 1) + 3;
@@ -1012,7 +1013,7 @@ static size_t walk_group_packed(const uint32_t* token_words, long tok_bit_off,
 // must then discard this HydHF).
 int hyd_hf_add_lfg_packed(HydHF* h, const uint32_t* token_words,
                           const uint32_t* residue_words,
-                          const uint16_t* tok_lut,  // [tok_classes, 4096]
+                          const uint16_t* tok_lut,  // [tok_classes, 256]
                           int tok_classes,
                           const uint8_t* cluster_map, uint32_t preset,
                           long gcy, long gcx, long vh, long vw,

@@ -339,7 +339,7 @@ class _JaxDispatch:
 
         lens, codes, lut = self._codec.tables()
         # slice the LUT to this frame's class count so the walker's
-        # class = cluster %% (lut.size/4096) matches the device's
+        # class = cluster %% (lut.size/256) matches the device's
         # class = cluster %% tok_classes exactly
         self.tok_lut = lut[:self.kwargs["tok_classes"]]
         self.out = encode_lfg_packed(

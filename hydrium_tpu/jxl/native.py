@@ -294,13 +294,13 @@ class NativeHF:
         """Walk every group of one LF group in parallel (payload format
         v2; threads write disjoint symbol ranges sized by the device's
         per-group counts).  grid = (gcy, gcx) buffer group grid; extent
-        = (vh, vw) true varblock extent.  tok_lut: u16[n_classes, 4096]
+        = (vh, vw) true varblock extent.  tok_lut: u16[n_classes, 256]
         per-cluster transport-Huffman decode LUTs (jxl/tokcode.py);
         class = cluster % n_classes."""
         t = np.ascontiguousarray(tok_words, np.uint32)
         r = np.ascontiguousarray(res_words, np.uint32)
         lut = np.ascontiguousarray(tok_lut, np.uint16)
-        tok_classes = lut.size // 4096
+        tok_classes = lut.size // 256
         cm = np.ascontiguousarray(cluster_map, np.uint8)
         to = np.ascontiguousarray(tok_bit_offs, np.int64)
         ro = np.ascontiguousarray(res_bit_offs, np.int64)

@@ -18,7 +18,7 @@ size (~30% on noisy 4K content).
 The host picks code lengths from the previous LF group's per-class token
 histogram (shipped back in the aux payload), sends the 9x64 codeword
 table to the device with the next dispatch, and the C++ walker decodes
-with one 4096-entry LUT per class.  Decodability is unconditional --
+with one 256-entry LUT per class.  Decodability is unconditional --
 every symbol always has a code in every class (add-one smoothing), so a
 distribution mismatch only costs compression, never correctness.
 
@@ -32,12 +32,44 @@ from typing import Tuple
 
 import numpy as np
 
-from .entropy import build_huffman_lengths, build_prefix_table
+from .entropy import build_prefix_table
 
 ALPHABET = 64
 NCLASS = 9            # within-preset clusters (tables.hf_cluster_map)
-MAX_LEN = 12          # bounds the device-side stream buffer at 12 bits/slot
-LUT_BITS = 12
+# 8-bit cap: lets the device pack FOUR tokens per scatter update (4*8 <=
+# 32 bits; the bitpack scatter is the pipeline's dominant device cost)
+# and shrinks each decode LUT to 256 entries.  Optimal package-merge
+# lengths at depth 8 still land within ~0.1 b/sym of unlimited Huffman
+# on real token distributions.
+MAX_LEN = 8
+LUT_BITS = 8
+
+
+def package_merge_lengths(freqs, max_len: int):
+    """Optimal length-limited prefix code lengths (package-merge).
+
+    The reference's in-array depth-limited Huffman (entropy.c:592-662,
+    kept bit-exact in jxl/entropy.py for the .jxl streams) over-
+    constrains at small depth caps; the transport code never appears in
+    the bitstream, so it is free to use the optimal algorithm."""
+    A = len(freqs)
+    assert all(f > 0 for f in freqs)
+    singles = sorted((int(f), (i,)) for i, f in enumerate(freqs))
+    packages: list = []
+    for _level in range(max_len - 1):
+        merged = sorted(singles + packages)
+        packages = [
+            (merged[k][0] + merged[k + 1][0],
+             merged[k][1] + merged[k + 1][1])
+            for k in range(0, len(merged) - 1, 2)
+        ]
+    # the optimal solution takes the 2A-2 cheapest items of the last
+    # merged list; a symbol's code length = its occurrence count there
+    lengths = [0] * A
+    for _w, syms in sorted(singles + packages)[:2 * (A - 1)]:
+        for s in syms:
+            lengths[s] += 1
+    return lengths
 
 
 def _default_prior() -> np.ndarray:
@@ -51,7 +83,7 @@ def _default_prior() -> np.ndarray:
 def build_tables(freqs: np.ndarray) -> Tuple[np.ndarray, np.ndarray,
                                              np.ndarray]:
     """freqs[NCLASS, 64] -> (lengths i32[NCLASS*64],
-    codewords u32[NCLASS*64] LSB-first, decode LUTs u16[NCLASS, 4096]
+    codewords u32[NCLASS*64] LSB-first, decode LUTs u16[NCLASS, 256]
     with entry = symbol | (length << 8)); index = class*64 + token."""
     freqs = np.asarray(freqs, np.int64).reshape(NCLASS, ALPHABET)
     lens = np.zeros(NCLASS * ALPHABET, np.int32)
@@ -59,8 +91,8 @@ def build_tables(freqs: np.ndarray) -> Tuple[np.ndarray, np.ndarray,
     lut = np.zeros((NCLASS, 1 << LUT_BITS), np.uint16)
     for k in range(NCLASS):
         smoothed = freqs[k] + 1
-        lengths = build_huffman_lengths([int(v) for v in smoothed],
-                                        ALPHABET, MAX_LEN)
+        lengths = package_merge_lengths([int(v) for v in smoothed],
+                                        MAX_LEN)
         table = build_prefix_table(lengths, ALPHABET)
         for sym, (cw, ln) in enumerate(table):
             assert 1 <= ln <= MAX_LEN, (k, sym, ln)

@@ -392,8 +392,13 @@ def _bitpack(values: jnp.ndarray, nbits: jnp.ndarray,
     """Scatter variable-width fields into a little-endian u32 word array.
 
     values: [M] uint32 (must be < 2**nbits, 0 where nbits==0)
-    nbits:  [M] int32
-    Returns (words [num_words] u32, total_bits scalar)."""
+    nbits:  [M] int32 (<= 32)
+    Returns (words [num_words] u32, total_bits scalar).
+
+    Scatter-adds with duplicate indices are the pipeline's dominant
+    device cost (measured ~1 ms per 26 K updates on v5e via bench.py
+    --device-plane), so callers PRE-COMBINE adjacent symbols into wider
+    fields (token quads, residue pairs) before calling this."""
     # int32 suffices: <= 12.6M slots * 24 bits < 2^31 total bits
     nb = nbits.astype(jnp.int32)
     off = jnp.cumsum(nb) - nb
@@ -408,6 +413,59 @@ def _bitpack(values: jnp.ndarray, nbits: jnp.ndarray,
     words = words.at[jnp.minimum(word + 1, num_words - 1)].add(
         hi, mode="drop")
     return words, total.astype(jnp.int32)
+
+
+def _bitpack64(lo_vals: jnp.ndarray, hi_vals: jnp.ndarray,
+               nbits: jnp.ndarray,
+               num_words: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """_bitpack for fields up to 64 bits, split as (lo 32, hi rest)
+    u32 lanes (jax runs without x64): three scatter contributions per
+    field instead of two per symbol."""
+    nb = nbits.astype(jnp.int32)
+    off = jnp.cumsum(nb) - nb
+    total = off[-1] + nb[-1] if nb.size else jnp.int32(0)
+    word = (off >> 5).astype(jnp.int32)
+    shift = (off & 31).astype(jnp.uint32)
+    lo = lo_vals.astype(jnp.uint32)
+    hi = hi_vals.astype(jnp.uint32)
+    inv = jnp.uint32(32) - shift
+    c0 = lo << shift
+    c1 = jnp.where(shift > 0, lo >> inv, 0) | (hi << shift)
+    c2 = jnp.where(shift > 0, hi >> inv, 0)
+    words = jnp.zeros((num_words,), jnp.uint32)
+    words = words.at[word].add(c0, mode="drop")
+    words = words.at[jnp.minimum(word + 1, num_words - 1)].add(
+        c1, mode="drop")
+    words = words.at[jnp.minimum(word + 2, num_words - 1)].add(
+        c2, mode="drop")
+    return words, total.astype(jnp.int32)
+
+
+def _combine_quads(values: jnp.ndarray, nbits: jnp.ndarray):
+    """Merge 4 adjacent fields (each <= 8 bits) into one <= 32-bit field
+    -- quarters the bitpack scatter updates while producing an identical
+    bit stream (LSB-first concatenation is associative)."""
+    v4 = values.reshape(-1, 4).astype(jnp.uint32)
+    b4 = nbits.reshape(-1, 4).astype(jnp.uint32)
+    o1 = b4[:, 0]
+    o2 = o1 + b4[:, 1]
+    o3 = o2 + b4[:, 2]
+    field = (v4[:, 0] | (v4[:, 1] << o1) | (v4[:, 2] << o2)
+             | (v4[:, 3] << o3))
+    return field, (o3 + b4[:, 3]).astype(jnp.int32)
+
+
+def _combine_pairs64(values: jnp.ndarray, nbits: jnp.ndarray):
+    """Merge 2 adjacent fields (each <= 31 bits) into one <= 62-bit
+    field as (lo32, hi) u32 lanes -- halves the residue scatter count."""
+    v2 = values.reshape(-1, 2).astype(jnp.uint32)
+    b2 = nbits.reshape(-1, 2).astype(jnp.uint32)
+    b0 = b2[:, 0]
+    lo = v2[:, 0] | (v2[:, 1] << b0)            # u32 truncation is exact
+    inv = jnp.uint32(32) - b0
+    hi = jnp.where(inv < 32, v2[:, 1] >> jnp.minimum(inv, jnp.uint32(31)),
+                   0)
+    return lo, hi, (b0 + b2[:, 1]).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("buf_h", "buf_w", "linear_light",
@@ -465,10 +523,12 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
     # ok requires <64)
     hist64 = jnp.zeros((9 * 64,), jnp.int32).at[ct_idx].add(mask_i32)
 
-    tok_cap_words = (M * 12 + 31) // 32      # MAX_LEN = 12 (tokcode.py)
+    tok_cap_words = (M * 8 + 31) // 32       # MAX_LEN = 8 (tokcode.py)
     res_cap_words = (M * 24 + 31) // 32
-    tok_words, tok_total = _bitpack(t_flat, t_bits, tok_cap_words)
-    res_words, res_total = _bitpack(r_flat, r_bits, res_cap_words)
+    tq, tq_bits = _combine_quads(t_flat, t_bits)
+    tok_words, tok_total = _bitpack(tq, tq_bits, tok_cap_words)
+    rlo, rhi, rp_bits = _combine_pairs64(r_flat, r_bits)
+    res_words, res_total = _bitpack64(rlo, rhi, rp_bits, res_cap_words)
     tok_ok = tok_ok & (res_total <= res_cap_words * 32)
 
     per_group_syms = valid_len.reshape(G, -1).sum(axis=1).astype(jnp.int32)
