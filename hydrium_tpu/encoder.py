@@ -487,7 +487,8 @@ class _JaxDispatch:
 
         from .ops.pipeline import encode_lfg
 
-        kw = {k: v for k, v in self.kwargs.items() if k != "tok_classes"}
+        kw = {("clusters_per_preset" if k == "tok_classes" else k): v
+              for k, v in self.kwargs.items()}
         out = encode_lfg(self.px, lfg.height, lfg.width, self.presets_dev,
                          self.cm_dev, **kw)
         lf_q = np.asarray(out["lf_q"])[:vh, :vw]

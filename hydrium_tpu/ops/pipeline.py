@@ -195,34 +195,72 @@ def predicted_nonzeroes(nz: jnp.ndarray) -> jnp.ndarray:
     return pred
 
 
-def tokenize_flat(q: jnp.ndarray, nz_flat: jnp.ndarray, pred_flat: jnp.ndarray,
-                  base_flat: jnp.ndarray, blockctx_flat: jnp.ndarray,
-                  cluster_map: jnp.ndarray):
+def _staircase(x: jnp.ndarray, table: np.ndarray) -> jnp.ndarray:
+    """Evaluate table[x] for a small host-known integer `table` as a sum
+    of step functions -- one vector compare + add per value change.  A
+    dynamic gather on TPU costs ~10 ns PER ELEMENT; a staircase with a
+    handful of breakpoints is pure VPU work."""
+    t = np.asarray(table, np.int64)
+    acc = jnp.full(x.shape, int(t[0]), jnp.int32)
+    for r in range(1, len(t)):
+        d = int(t[r] - t[r - 1])
+        if d:
+            acc = acc + jnp.where(x >= r, jnp.int32(d), jnp.int32(0))
+    return acc
+
+
+def tokenize_flat(q: jnp.ndarray, nz_flat: jnp.ndarray,
+                  preset_flat: jnp.ndarray, blockctx_flat: jnp.ndarray,
+                  clusters_per_preset: int):
     """HF context modeling + tokenization on the flat layout.
 
     q:        [N, 64] int32 quantized coefficients, emission order, slot 0
               unused (DC)
     nz_flat:  [N] nonzero AC count per block-channel
-    pred_flat:[N] predicted count (neighbor blocks)
-    base_flat:[N] 1485 * preset
+    preset_flat: [N] histogram preset index
     blockctx_flat: [N] emission channel index 0..2
+    clusters_per_preset: 9/3/2/1 (the tables.hf_cluster_map rule)
     Returns (tokens u16 [N,64], clusters u8, residues u32, rbits u8,
-             valid_len i32 [N]).  encoder.c:689-750."""
-    p64 = jnp.minimum(pred_flat, 64)
-    nz_ctx = jnp.where(pred_flat < 8, pred_flat, 4 + (p64 >> 1))
-    count_ctx = base_flat + 3 * nz_ctx + blockctx_flat
+             valid_len i32 [N]).  encoder.c:689-750.
 
+    The context->cluster map is evaluated ANALYTICALLY instead of
+    gathering from the 1485*presets-entry table: tables.hf_cluster_map
+    is `j % 3` over nonzero-count contexts and `3 + (j - 111) % 6` over
+    coefficient contexts (per preset; 9-cluster rule), which with
+    COEFF_CONTEXTS_PER_BLOCK_CTX % 6 == 2 collapses to
+        cluster0     = blockctx
+        cluster[1:]  = 3 + 2*((blockctx + cnzc[r] + cfc[k]) % 3) + prev
+    (and constants for the 3/2/1-cluster rules); verified exhaustively
+    against the gather in tests/test_pipeline_jax.py.  A [N,64] gather
+    from the map costs ~100 ms per 2048^2 LF group on TPU; this is a
+    few vector ops."""
     nonzero = (q[:, 1:] != 0).astype(jnp.int32)
     cum = jnp.cumsum(nonzero, axis=-1)
     remaining = nz_flat[:, None] - jnp.pad(cum[:, :-1], ((0, 0), (1, 0)))
     prev = jnp.concatenate(
         [(nz_flat <= 4).astype(jnp.int32)[:, None], nonzero[:, :-1]], axis=-1)
-    hist = (base_flat + tables.COEFF_CONTEXTS_PER_BLOCK_CTX * blockctx_flat
-            + 111)
-    cnzc = jnp.asarray(tables.COEFF_NUM_NONZERO_CONTEXT)
-    cfc = jnp.asarray(tables.COEFF_FREQ_CONTEXT[1:])
-    coeff_ctx = (hist[:, None] + prev
-                 + ((cnzc[jnp.clip(remaining, 0, 63)] + cfc[None, :]) << 1))
+
+    per = clusters_per_preset
+    if per == 9:
+        cnzc3 = np.asarray(tables.COEFF_NUM_NONZERO_CONTEXT) % 3
+        cfc3 = jnp.asarray(np.asarray(tables.COEFF_FREQ_CONTEXT[1:]) % 3,
+                           jnp.int32)
+        m3 = _staircase(jnp.clip(remaining, 0, 63), cnzc3)
+        m = (blockctx_flat[:, None] + m3 + cfc3[None, :]) % 3
+        cls_coeff = 3 + 2 * m + prev
+        cls0 = blockctx_flat
+    elif per == 3:
+        cls_coeff = 1 + prev
+        cls0 = jnp.zeros_like(blockctx_flat)
+    elif per == 2:
+        cls_coeff = jnp.broadcast_to(jnp.int32(1), prev.shape)
+        cls0 = jnp.zeros_like(blockctx_flat)
+    else:
+        cls_coeff = jnp.zeros_like(prev)
+        cls0 = jnp.zeros_like(blockctx_flat)
+    clusters = (per * preset_flat[:, None]
+                + jnp.concatenate([cls0[:, None], cls_coeff], axis=-1)
+                ).astype(jnp.uint8)
 
     j_idx = jnp.arange(1, 64)
     last_nz = jnp.max(jnp.where(nonzero > 0, j_idx[None, :], 0), axis=-1)
@@ -230,22 +268,22 @@ def tokenize_flat(q: jnp.ndarray, nz_flat: jnp.ndarray, pred_flat: jnp.ndarray,
 
     values = jnp.concatenate(
         [nz_flat[:, None].astype(jnp.uint32), pack_signed(q[:, 1:])], axis=-1)
-    contexts = jnp.concatenate([count_ctx[:, None], coeff_ctx], axis=-1)
 
     tokens, residues, residue_bits = hybridize(values)
-    clusters = cluster_map[contexts].astype(jnp.uint8)
     return tokens, clusters, residues, residue_bits, valid_len
 
 
 @partial(jax.jit, static_argnames=("buf_h", "buf_w", "linear_light",
                                    "num_clusters", "sample_kind",
-                                   "use_pallas", "lf_seg_vb"))
+                                   "use_pallas", "lf_seg_vb",
+                                   "clusters_per_preset"))
 def encode_lfg(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
                cluster_map: jnp.ndarray, *, buf_h: int, buf_w: int,
                linear_light: bool, num_clusters: int,
                sample_kind: str,
                use_pallas: bool = False,
-               lf_seg_vb: int = 0) -> Dict[str, jnp.ndarray]:
+               lf_seg_vb: int = 0,
+               clusters_per_preset: int = 0) -> Dict[str, jnp.ndarray]:
     """Full device pipeline for one LF group (or one tile-frame).
 
     pixels: [buf_h, buf_w, 3] padded buffer; `height`/`width` are the true
@@ -313,16 +351,19 @@ def encode_lfg(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
         q_flat = group_flat(q)                 # [N, 64]
 
     nz_flat = jnp.sum((q_flat != 0).astype(jnp.int32), axis=-1)
-    nz_grouped = nz_flat.reshape(gcy * gcx, 32, 32, 3)
-    pred = predicted_nonzeroes(nz_grouped)
-    pred_flat = pred.reshape(-1)
-    base_flat = jnp.repeat(presets * tables.CONTEXTS_PER_PRESET, 1024 * 3,
-                           total_repeat_length=gcy * gcx * 1024 * 3)
+    preset_flat = jnp.repeat(presets, 1024 * 3,
+                             total_repeat_length=gcy * gcx * 1024 * 3)
     blockctx_flat = jnp.tile(jnp.arange(3, dtype=jnp.int32),
                              gcy * gcx * 1024)
 
+    # `cluster_map` is accepted for interface stability but the map is
+    # evaluated analytically (see tokenize_flat); the caller's map must
+    # be tables.hf_cluster_map(num_presets), which is the only map this
+    # framework (like the reference, encoder.c:855-901) ever builds.
+    del cluster_map
+    per = clusters_per_preset if clusters_per_preset else num_clusters
     tokens, clusters, residues, residue_bits, valid_len = tokenize_flat(
-        q_flat, nz_flat, pred_flat, base_flat, blockctx_flat, cluster_map)
+        q_flat, nz_flat, preset_flat, blockctx_flat, per)
 
     # blocks beyond each group's true varblock extent emit nothing
     gbh = jnp.clip(vh - jnp.arange(gcy) * 32, 0, 32)     # [gcy]
@@ -356,7 +397,7 @@ def encode_lfg(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
 # parallel/driver.py and the C++ walker (cpp/serializer.cc) -- the four
 # must change together:
 #
-#   aux (fixed A = 8 + 64 + 3*G words):
+#   aux (fixed A = 8 + 576 + 3*G words):
 #     [0]        ok flag (0 -> caller falls back to the unpacked path)
 #     [1]        total token bits
 #     [2]        total residue bits
@@ -375,7 +416,7 @@ def encode_lfg(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
 #     [..+G]     per-group token bit counts
 #   then, at dynamic word offsets:
 #     LF residuals, pack_signed at fixed width W over the full buffer
-#     varblock grid; Huffman-coded tokens (transport code; <= 12
+#     varblock grid; Huffman-coded tokens (transport code; <= 8
 #     bits/token); raw residue bits.
 #
 # Tokens are transport-Huffman-coded with host-supplied per-cluster
@@ -494,7 +535,8 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
     out = encode_lfg(pixels, height, width, presets, cluster_map,
                      buf_h=buf_h, buf_w=buf_w, linear_light=linear_light,
                      num_clusters=num_clusters, sample_kind=sample_kind,
-                     use_pallas=use_pallas, lf_seg_vb=lf_seg_vb)
+                     use_pallas=use_pallas, lf_seg_vb=lf_seg_vb,
+                     clusters_per_preset=tok_classes)
     tokens = out["tokens"]            # [N, 64] u16
     residues = out["residues"]        # [N, 64] u32
     residue_bits = out["residue_bits"]
@@ -512,16 +554,47 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
     # transport class = within-preset cluster id, known to the walker
     # before each token is decoded
     cls = (out["clusters"].astype(jnp.int32) % tok_classes).reshape(M)
-    ct_idx = cls * 64 + t_idx
-    t_flat = jnp.where(mask_i32 > 0, tok_code[ct_idx].astype(jnp.uint32), 0)
-    t_bits = tok_len[ct_idx].astype(jnp.int32) * mask_i32
+
+    # Per-slot transport code/length lookup and the per-class histogram
+    # both go through the MXU instead of gather/scatter ON TPU: a
+    # dynamic gather or a duplicate-index scatter costs ~10-15 ns PER
+    # ELEMENT there (measured; ~180 ms per 12.6M-slot table lookup,
+    # ~200 ms for the 576-bin histogram scatter on a 2048^2 LF group),
+    # while the equivalent one-hot matmuls are ~15 GFLOP -- well under a
+    # millisecond of MXU time.  All values are small integers (codes
+    # < 2^8, lengths <= 8, counts < 2^24), exact in bf16 operands with
+    # f32 accumulation.  On CPU (the test backend) the matmuls are
+    # emulated and minutes-slow, so the gather/scatter form is kept;
+    # both forms are exact and produce identical payloads.
+    if jax.default_backend() == "tpu":
+        oh_tok = (t_idx[:, None] == jnp.arange(64, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.bfloat16)                      # [M, 64]
+        oh_cls = (cls[:, None] == jnp.arange(9, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.bfloat16)                      # [M, 9]
+        # TAB[t, 0:9] = codeword, TAB[t, 9:18] = length, per class
+        tab_code = tok_code.reshape(9, 64).T.astype(jnp.bfloat16)
+        tab_len = tok_len.reshape(9, 64).T.astype(jnp.bfloat16)
+        R = jnp.dot(oh_tok, jnp.concatenate([tab_code, tab_len], axis=1),
+                    preferred_element_type=jnp.float32)       # [M, 18]
+        code_f = jnp.sum(R[:, :9] * oh_cls.astype(jnp.float32), axis=1)
+        len_f = jnp.sum(R[:, 9:] * oh_cls.astype(jnp.float32), axis=1)
+        t_flat = jnp.where(mask_i32 > 0, code_f.astype(jnp.uint32), 0)
+        t_bits = len_f.astype(jnp.int32) * mask_i32
+        # exact per-class token histogram (of *clamped* indices; exact
+        # whenever ok -- max hybrid-uint token for 32-bit values is 71,
+        # and ok requires <64): hist[c, t] = sum_m mask*onehot9*onehot64
+        hist64 = jnp.dot((oh_cls
+                          * mask_i32[:, None].astype(jnp.bfloat16)).T,
+                         oh_tok, preferred_element_type=jnp.float32)
+        hist64 = hist64.astype(jnp.int32).reshape(9 * 64)
+    else:
+        ct_idx = cls * 64 + t_idx
+        t_flat = jnp.where(mask_i32 > 0, tok_code[ct_idx].astype(jnp.uint32),
+                           0)
+        t_bits = tok_len[ct_idx].astype(jnp.int32) * mask_i32
+        hist64 = jnp.zeros((9 * 64,), jnp.int32).at[ct_idx].add(mask_i32)
     r_flat = jnp.where(valid, residues, 0).reshape(M)
     r_bits = jnp.where(valid, residue_bits.astype(jnp.int32), 0).reshape(M)
-
-    # exact per-class token histogram (of *clamped* indices; exact
-    # whenever ok -- max hybrid-uint token for 32-bit values is 71, and
-    # ok requires <64)
-    hist64 = jnp.zeros((9 * 64,), jnp.int32).at[ct_idx].add(mask_i32)
 
     tok_cap_words = (M * 8 + 31) // 32       # MAX_LEN = 8 (tokcode.py)
     res_cap_words = (M * 24 + 31) // 32

@@ -26,7 +26,8 @@ from ..ops import tables
 
 
 def _lfg_unpacked_fallback(hf, asm, image, g, preset, linear_light,
-                           sample_fmt, cm_dev, num_clusters) -> None:
+                           sample_fmt, cm_dev, num_clusters,
+                           clusters_per_preset) -> None:
     """Re-run one LF group through the unpacked pipeline (packed
     transport overflow) and feed padded arrays to the HF stream."""
     import jax.numpy as jnp
@@ -39,7 +40,7 @@ def _lfg_unpacked_fallback(hf, asm, image, g, preset, linear_light,
         jnp.asarray(px), g.height, g.width,
         jnp.full((64,), preset, jnp.int32), cm_dev, buf_h=2048, buf_w=2048,
         linear_light=linear_light, num_clusters=num_clusters,
-        sample_kind=sample_fmt)
+        sample_kind=sample_fmt, clusters_per_preset=clusters_per_preset)
     vh, vw = g.varblock_height, g.varblock_width
     write_lf_group(asm.working, np.asarray(out["lf_q"])[:vh, :vw],
                    np.asarray(out["lf_res"])[:vh, :vw])
@@ -158,7 +159,8 @@ def encode_image_sharded(image: np.ndarray, mesh=None,
                 # default device, same as the Encoder's fallback
                 _lfg_unpacked_fallback(hf, asm, image, g, preset,
                                        linear_light, sample_fmt, cm_dev,
-                                       num_clusters)
+                                       num_clusters,
+                                       num_clusters // geo.num_presets)
                 continue
             parsed = _parse_packed(aux, combined[A:], 2048, 2048, g)
             write_lf_group(asm.working, None, parsed["lf_res"])

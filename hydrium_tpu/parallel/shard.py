@@ -52,7 +52,8 @@ def sharded_lfg_encode(mesh: Mesh, *, lfg_dim: int, linear_light: bool,
             pixels, lfg_dim, lfg_dim,
             jnp.full((gc,), preset, jnp.int32), cluster_map,
             buf_h=buf, buf_w=buf, linear_light=linear_light,
-            num_clusters=num_clusters, sample_kind=sample_kind)
+            num_clusters=num_clusters, sample_kind=sample_kind,
+            clusters_per_preset=num_clusters // num_presets)
 
     @partial(
         jax.shard_map, mesh=mesh,

@@ -81,13 +81,12 @@ def test_token_machinery_matches_numpy():
     q_flat = jnp.asarray(qg.reshape(-1, 64))
     nzg = bnz.reshape(gcy, 32, gcx, 32, 3).transpose(0, 2, 1, 3, 4)
     nz_grouped = jnp.asarray(nzg.reshape(gcy * gcx, 32, 32, 3))
-    pred = pipeline.predicted_nonzeroes(nz_grouped)
     N = gcy * gcx * 1024 * 3
     toks = pipeline.tokenize_flat(
-        q_flat, nz_grouped.reshape(-1), pred.reshape(-1),
+        q_flat, nz_grouped.reshape(-1),
         jnp.zeros(N, jnp.int32),
         jnp.tile(jnp.arange(3, dtype=jnp.int32), gcy * gcx * 1024),
-        jnp.asarray(cm))
+        9)
     tokens, clusters, residues, rbits, valid_len = [np.array(t) for t in toks]
     tokens = tokens.reshape(gcy * gcx, 1024, 3, 64)
     clusters = clusters.reshape(tokens.shape)
@@ -215,7 +214,7 @@ def test_packed_walk_class_count_contract():
 
     out_u = pipeline.encode_lfg(
         jnp.asarray(img), 256, 256, jnp.full((1,), preset, jnp.int32),
-        jnp.asarray(cm), **kwargs)
+        jnp.asarray(cm), clusters_per_preset=per, **kwargs)
     hf_b = HFStream(num_presets)
     hf_b.add_group_padded(np.asarray(out_u["tokens"]).reshape(1024, 3, 64),
                           np.asarray(out_u["clusters"]).reshape(1024, 3, 64),
@@ -228,3 +227,46 @@ def test_packed_walk_class_count_contract():
     a = [w.finalize() for w in hf_a.group_sections]
     b = [w.finalize() for w in hf_b.group_sections]
     assert a == b
+
+
+@pytest.mark.parametrize("num_presets", [1, 28, 29, 86, 129])
+def test_analytic_clusters_match_gather(num_presets):
+    """tokenize_flat evaluates the context->cluster map analytically
+    (no device gather); it must equal cluster_map[contexts] exactly for
+    every hf_cluster_map variant (9/3/2/1 clusters per preset), every
+    preset, both prev values, on random coefficient data."""
+    cm = tables.hf_cluster_map(num_presets)
+    num_clusters = int(cm.max()) + 1
+    per = num_clusters // num_presets
+    rng = np.random.default_rng(num_presets)
+    N = 3 * 256
+    q = rng.integers(-40, 40, (N, 64), dtype=np.int64).astype(np.int32)
+    q[rng.random((N, 64)) < 0.7] = 0
+    q[:, 0] = 0
+    nz = (q != 0).sum(axis=1).astype(np.int32)
+    presets = rng.integers(0, num_presets, N).astype(np.int32)
+    bc = np.tile(np.arange(3, dtype=np.int32), N // 3)
+
+    toks = pipeline.tokenize_flat(jnp.asarray(q), jnp.asarray(nz),
+                                  jnp.asarray(presets), jnp.asarray(bc),
+                                  per)
+    clusters = np.asarray(toks[1])
+
+    # reference: the straight gather (encoder.c:689-750 context ids)
+    cnzc = np.asarray(tables.COEFF_NUM_NONZERO_CONTEXT)
+    cfc = np.asarray(tables.COEFF_FREQ_CONTEXT[1:])
+    nonzero = (q[:, 1:] != 0).astype(np.int32)
+    cum = np.cumsum(nonzero, axis=-1)
+    remaining = nz[:, None] - np.pad(cum[:, :-1], ((0, 0), (1, 0)))
+    prev = np.concatenate([(nz <= 4).astype(np.int32)[:, None],
+                           nonzero[:, :-1]], axis=-1)
+    base = presets * tables.CONTEXTS_PER_PRESET
+    p64 = np.minimum(nz, 64)     # count ctx uses predicted; cluster is
+    nz_ctx = np.where(nz < 8, nz, 4 + (p64 >> 1))  # pred-independent
+    count_ctx = base + 3 * nz_ctx + bc
+    hist = base + tables.COEFF_CONTEXTS_PER_BLOCK_CTX * bc + 111
+    coeff_ctx = (hist[:, None] + prev
+                 + ((cnzc[np.clip(remaining, 0, 63)] + cfc[None, :]) << 1))
+    ctx = np.concatenate([count_ctx[:, None], coeff_ctx], axis=-1)
+    expect = cm[np.minimum(ctx, cm.size - 1)]
+    assert (clusters == expect).all()
