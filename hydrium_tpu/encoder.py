@@ -194,7 +194,7 @@ def _parse_packed(aux: np.ndarray, words, buf_h: int, buf_w: int, lfg):
     Layout contract: ops/pipeline.py encode_lfg_packed (see its module
     comment), cpp/serializer.cc hyd_hf_add_lfg_packed, and
     parallel/driver.py change together with this function."""
-    if not bool(aux[0]):
+    if not bool(aux[0] & 1):
         return None
     G = (buf_h >> 8) * (buf_w >> 8)
     vbh, vbw = buf_h >> 3, buf_w >> 3
@@ -241,7 +241,7 @@ def packed_verify(aux: np.ndarray, words, buf_h: int, buf_w: int) -> bool:
     u = aux.view(np.uint32)
     if int(np.sum(u[8:], dtype=np.uint32)) != int(u[4]):
         return False
-    if words is None or not bool(aux[0]):
+    if words is None or not bool(aux[0] & 1):
         return True
     wu = words.view(np.uint32)
     lf_n = (buf_h >> 3) * (buf_w >> 3) * 3
@@ -275,11 +275,13 @@ class _JaxDispatch:
     __slots__ = ("out", "lfg", "preset", "buf_h", "buf_w", "kwargs",
                  "presets_dev", "cm_dev", "px", "_aux", "_words",
                  "_pf_thread", "_pf_ran", "_hist_folded", "tok_lut",
-                 "_codec", "stats")
+                 "_codec", "stats", "_wide")
 
     # per-buffer-shape guess of the stream word count, fed back from the
     # previous LF group so the combined payload usually needs ONE fetch
     _HINTS: dict = {}
+    # shapes whose content needed the wide residue executable
+    _WIDE_HINT: dict = {}
     _warned_prefetch = False
 
     def __init__(self, pixels, sample_fmt, linear_light, lfg, preset, hf,
@@ -298,6 +300,12 @@ class _JaxDispatch:
         self.preset = preset
         self.stats = stats
         self.buf_h, self.buf_w = buf_h, buf_w
+        # sticky per-(shape, format) wideness: once one LF group needed
+        # the wide (24 b/slot) residue executable, later LF groups skip
+        # the doomed narrow dispatch (wide output is always valid, just
+        # a little slower to pack)
+        self._wide = _JaxDispatch._WIDE_HINT.get(
+            (buf_h, buf_w, sample_fmt), False)
         bgcy, bgcx = buf_h >> 8, buf_w >> 8
         num_clusters = int(hf.cluster_map.max()) + 1
         self.kwargs = dict(buf_h=buf_h, buf_w=buf_w,
@@ -345,7 +353,7 @@ class _JaxDispatch:
         self.out = encode_lfg_packed(
             self.px, self.lfg.height, self.lfg.width, self.presets_dev,
             self.cm_dev, jnp.asarray(lens), jnp.asarray(codes),
-            **self.kwargs)
+            wide_residues=self._wide, **self.kwargs)
 
     def start_prefetch(self, sem) -> None:
         """Run prefetch() on a daemon thread; `sem` serializes tunnel
@@ -380,7 +388,7 @@ class _JaxDispatch:
             # corrupt aux: do not trust its stream sizes (they would
             # poison the fetch hint and trigger a giant range fetch)
             return aux, None
-        if bool(aux[0]):
+        if bool(aux[0] & 1):
             need = packed_need_words(aux, self.buf_h, self.buf_w)
             self._HINTS[key] = need
             have = len(first) - A
@@ -426,9 +434,22 @@ class _JaxDispatch:
                         self._dispatch()
                         if self.stats is not None:
                             self.stats.count("codec_bootstraps")
-            for attempt in range(2):
+            for attempt in range(3):
                 aux, words = self._fetch_once()
                 if packed_verify(aux, words, self.buf_h, self.buf_w):
+                    if int(aux[0]) == 2 and not self._wide:
+                        # residue chunk exceeded the fast 12 b/slot
+                        # packing budget; re-dispatch the wide (24 b/slot)
+                        # executable rather than surrendering to the
+                        # far slower unpacked fallback
+                        self._wide = True
+                        key = (self.buf_h, self.buf_w,
+                               self.kwargs["sample_kind"])
+                        _JaxDispatch._WIDE_HINT[key] = True
+                        self._dispatch()
+                        if self.stats is not None:
+                            self.stats.count("wide_retries")
+                        continue
                     self._aux = aux
                     self._words = words
                     if self._codec is not None and not self._hist_folded:
@@ -472,7 +493,7 @@ class _JaxDispatch:
                 with stage("fetch_aux"):
                     self.prefetch()
             aux = self._aux
-            if aux is not None and bool(aux[0]):
+            if aux is not None and bool(aux[0] & 1):
                 parsed = _parse_packed(aux, self._words, self.buf_h,
                                        self.buf_w, lfg)
                 with stage("walk"):
@@ -868,7 +889,19 @@ class Encoder:
             with self.stats.stage("fetch_aux"):
                 first = _fetch_prefix(out["combined"], A + hint)
             aux = np.ascontiguousarray(first[:A]).view(np.int32)
-            if not bool(aux[0]):
+            if int(aux[0]) == 2:
+                # dense residues: one retry with the wide executable
+                with self.stats.stage("dispatch"):
+                    out = encode_lfg_packed(
+                        jnp.asarray(px), K_stack * th, tw,
+                        jnp.zeros(((K_stack * th >> 8) * gcx,), jnp.int32),
+                        cm_dev, jnp.asarray(lens), jnp.asarray(codes),
+                        wide_residues=True, **kwargs)
+                self.stats.count("wide_retries")
+                with self.stats.stage("fetch_aux"):
+                    first = _fetch_prefix(out["combined"], A + hint)
+                aux = np.ascontiguousarray(first[:A]).view(np.int32)
+            if not bool(aux[0] & 1):
                 self.stats.count("lfg_fallback")
                 for i in chunk:
                     payloads[i] = None   # overflow: per-tile fallback

@@ -398,7 +398,11 @@ def encode_lfg(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
 # must change together:
 #
 #   aux (fixed A = 8 + 576 + 3*G words):
-#     [0]        ok flag (0 -> caller falls back to the unpacked path)
+#     [0]        ok word: bit 0 = payload valid; value 2 = invalid but
+#                retryable with wide_residues=True (a residue chunk
+#                exceeded the fast 12 b/slot packing budget; the wide
+#                executable packs the format's full 24 b/slot budget);
+#                0 -> caller falls back to the unpacked path
 #     [1]        total token bits
 #     [2]        total residue bits
 #     [3]        LF residual field width W (bits per value, 0..32)
@@ -482,6 +486,137 @@ def _bitpack64(lo_vals: jnp.ndarray, hi_vals: jnp.ndarray,
     return words, total.astype(jnp.int32)
 
 
+def _onehot_pack_chunks(lanes: Tuple[jnp.ndarray, ...], nbits: jnp.ndarray,
+                        ch: int, ow: int):
+    """Bitpack fields into word-aligned chunks via one-hot MXU matmuls.
+
+    lanes: L arrays [F] u32; lane k holds bits [32k, 32k+32) of each
+    field.  nbits [F] int32 field widths (F % ch == 0).  Returns
+    (chunks [R, ow] u32, chunk_bits [R] i32, ok bool) with R = F // ch;
+    chunk r contains fields [r*ch, (r+1)*ch) packed LSB-first from bit 0.
+    `ok` is False if any chunk's bits exceed (ow - L) * 32 (the packed
+    data would spill past the chunk buffer -- caller must fall back).
+
+    Rationale (measured on v5e): a duplicate-index scatter-add costs
+    ~10-20 ns per update on TPU (~60 ms for the 3.1M-quad token stream
+    of one 2048^2 LF group), while placing the same fields with radix-
+    factored one-hot matmuls is MXU/bandwidth work (~4 ps per one-hot
+    element).  Exactness: every contribution is decomposed into bytes
+    (0..255, exact in bf16); contributions landing in the same output
+    word occupy disjoint bit ranges, so per-byte-lane f32 sums stay
+    <= 255 and integer-exact, making the float matmul a wide OR."""
+    L = len(lanes)
+    F = nbits.shape[0]
+    R = F // ch
+    assert R * ch == F and ow % 16 == 0
+    nb = nbits.reshape(R, ch).astype(jnp.int32)
+    inc = jnp.cumsum(nb, axis=1)
+    off = inc - nb
+    chunk_bits = inc[:, -1]
+    ok = jnp.all(chunk_bits <= (ow - L) * 32)
+    word = (off >> 5).astype(jnp.int32)
+    s = (off & 31).astype(jnp.uint32)
+    inv = jnp.uint32(32) - s
+    vs = [l.reshape(R, ch).astype(jnp.uint32) for l in lanes]
+    contribs_v, contribs_w = [], []
+    prev = None
+    for k, v in enumerate(vs):
+        c = v << s
+        if prev is not None:
+            c = c | jnp.where(s > 0, prev >> inv, 0)
+        contribs_v.append(c)
+        contribs_w.append(word + k)
+        prev = v
+    contribs_v.append(jnp.where(s > 0, prev >> inv, 0))
+    contribs_w.append(word + L)
+    pv = jnp.concatenate(contribs_v, axis=1)          # [R, (L+1)ch]
+    pw = jnp.minimum(jnp.concatenate(contribs_w, axis=1), ow - 1)
+    # radix-factored one-hot placement: word = q*16 + u.  The u digit is
+    # folded into the LHS together with the 4 value bytes (one dot, so
+    # the big [R, P, Q] one-hot RHS is materialized and read once).
+    q_digit = pw >> 4
+    u_digit = pw & 15
+    Q = ow // 16
+    oh_u = (u_digit[:, :, None] == jnp.arange(16, dtype=jnp.int32)
+            ).astype(jnp.bfloat16)                    # [R, P, 16]
+    oh_q = (q_digit[:, :, None] == jnp.arange(Q, dtype=jnp.int32)
+            ).astype(jnp.bfloat16)                    # [R, P, Q]
+    bytes_ = [((pv >> (8 * b)) & 0xFF).astype(jnp.bfloat16) for b in
+              range(4)]
+    lhs = jnp.concatenate(
+        [b[:, :, None] * oh_u for b in bytes_], axis=2)  # [R, P, 64]
+    acc = jnp.einsum("rpk,rpq->rqk", lhs, oh_q,
+                     preferred_element_type=jnp.float32)  # [R, Q, 64]
+    acc = acc.astype(jnp.uint32).reshape(R, Q, 4, 16)
+    out = jnp.zeros((R, Q, 16), jnp.uint32)
+    for b in range(4):
+        out = out | (acc[:, :, b, :] << (8 * b))
+    return out.reshape(R, ow), chunk_bits, ok
+
+
+def _carry_scan_compact(chunks: jnp.ndarray, chunk_bits: jnp.ndarray,
+                        num_words: int):
+    """Concatenate word-aligned bit-stream chunks into one compact
+    stream, bit-exactly equal to packing all fields with _bitpack.
+
+    chunks [R, OW] u32, chunk_bits [R] i32.  A lax.scan walks chunks in
+    order carrying (buffer, partial boundary word): each step shifts the
+    chunk by its global start offset mod 32, ORs the carry into its
+    first word, places it with one dynamic_update_slice, and extracts
+    the word containing the new stream end as the next carry (that word
+    is 0 when the end is word-aligned, so no conditional is needed).
+    Returns (words [num_words] u32, total_bits i32)."""
+    R, OW = chunks.shape
+    off = jnp.cumsum(chunk_bits) - chunk_bits
+    total = (off[-1] + chunk_bits[-1]).astype(jnp.int32)
+
+    def body(carry, xs):
+        buf, cw = carry
+        chw, o, b = xs
+        s = (o & 31).astype(jnp.uint32)
+        wo = (o >> 5).astype(jnp.int32)
+        z1 = jnp.zeros((1,), jnp.uint32)
+        ext = jnp.concatenate([chw, z1])
+        prv = jnp.concatenate([z1, chw])
+        sh = (ext << s) | jnp.where(s > 0,
+                                    prv >> (jnp.uint32(32) - s), 0)
+        sh = sh.at[0].set(sh[0] | cw)
+        buf = jax.lax.dynamic_update_slice(buf, sh, (wo,))
+        k = ((o + b) >> 5) - wo
+        ncw = jax.lax.dynamic_slice(sh, (k,), (1,))[0]
+        return (buf, ncw), None
+
+    # + OW + 2 pad so the dus never clamps backward over earlier chunks
+    buf0 = jnp.zeros((num_words + OW + 2,), jnp.uint32)
+    (buf, _), _ = jax.lax.scan(body, (buf0, jnp.uint32(0)),
+                               (chunks, off, chunk_bits), unroll=4)
+    return buf[:num_words], total
+
+
+def _pad_fields(arrs, nbits, ch):
+    """Zero-pad fields so the count divides ch (pad fields are 0 bits
+    wide and contribute nothing to the stream)."""
+    F = nbits.shape[0]
+    pad = (-F) % ch
+    if pad == 0:
+        return arrs, nbits
+    return ([jnp.pad(a, (0, pad)) for a in arrs],
+            jnp.pad(nbits, (0, pad)))
+
+
+def _bitpack_mxu(lanes, nbits, num_words: int, ch: int, max_field_bits: int):
+    """_bitpack/_bitpack64 equivalent built from _onehot_pack_chunks +
+    _carry_scan_compact; bit-identical output.  Returns
+    (words, total_bits, ok); ok False means a chunk overflowed
+    max_field_bits*ch on aggregate and `words` is garbage."""
+    L = len(lanes)
+    lanes, nbits = _pad_fields(list(lanes), nbits, ch)
+    ow = -(-((max_field_bits * ch) // 32 + L + 1) // 16) * 16
+    chunks, chunk_bits, ok = _onehot_pack_chunks(tuple(lanes), nbits, ch, ow)
+    words, total = _carry_scan_compact(chunks, chunk_bits, num_words)
+    return words, total, ok
+
+
 def _combine_quads(values: jnp.ndarray, nbits: jnp.ndarray):
     """Merge 4 adjacent fields (each <= 8 bits) into one <= 32-bit field
     -- quarters the bitpack scatter updates while producing an identical
@@ -512,7 +647,7 @@ def _combine_pairs64(values: jnp.ndarray, nbits: jnp.ndarray):
 @partial(jax.jit, static_argnames=("buf_h", "buf_w", "linear_light",
                                    "num_clusters", "sample_kind",
                                    "use_pallas", "lf_seg_vb",
-                                   "tok_classes"))
+                                   "tok_classes", "wide_residues"))
 def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
                       cluster_map: jnp.ndarray, tok_len: jnp.ndarray,
                       tok_code: jnp.ndarray, *, buf_h: int, buf_w: int,
@@ -520,7 +655,8 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
                       sample_kind: str,
                       use_pallas: bool = False,
                       lf_seg_vb: int = 0,
-                      tok_classes: int = 9) -> Dict[str, jnp.ndarray]:
+                      tok_classes: int = 9,
+                      wide_residues: bool = False) -> Dict[str, jnp.ndarray]:
     """encode_lfg + on-device stream packing to minimize interconnect
     traffic (payload format v2, see module comment above).
 
@@ -599,10 +735,33 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
     tok_cap_words = (M * 8 + 31) // 32       # MAX_LEN = 8 (tokcode.py)
     res_cap_words = (M * 24 + 31) // 32
     tq, tq_bits = _combine_quads(t_flat, t_bits)
-    tok_words, tok_total = _bitpack(tq, tq_bits, tok_cap_words)
     rlo, rhi, rp_bits = _combine_pairs64(r_flat, r_bits)
-    res_words, res_total = _bitpack64(rlo, rhi, rp_bits, res_cap_words)
-    tok_ok = tok_ok & (res_total <= res_cap_words * 32)
+    if jax.default_backend() == "tpu":
+        # chunked one-hot MXU pack + carry-scan compaction: bit-identical
+        # to the scatter path but ~10x faster on TPU (see _onehot_pack_
+        # chunks).  Token quads are <= 32 bits by construction (transport
+        # MAX_LEN 8).  Residue chunks are budgeted at 12 bits/slot --
+        # plenty for real content (noise packs ~1-7 b/slot) and half the
+        # pack+scan cost of the format's 24 b/slot stream budget; a
+        # denser chunk sets ok=2 ("retry with wide_residues=True", a
+        # second cached executable at the full budget) instead of 1.
+        res_budget = 48 if wide_residues else 24
+        tok_words, tok_total, _ = _bitpack_mxu(
+            (tq,), tq_bits, tok_cap_words, ch=4096, max_field_bits=32)
+        res_words, res_total, res_okc = _bitpack_mxu(
+            (rlo, rhi), rp_bits, res_cap_words, ch=2048,
+            max_field_bits=res_budget)
+        fits = res_total <= res_cap_words * 32
+        ok_full = tok_ok & res_okc & fits
+        retryable = (tok_ok & fits & ~res_okc) if not wide_residues \
+            else jnp.bool_(False)
+        ok_word = jnp.where(ok_full, jnp.int32(1),
+                            jnp.where(retryable, jnp.int32(2), jnp.int32(0)))
+    else:
+        tok_words, tok_total = _bitpack(tq, tq_bits, tok_cap_words)
+        res_words, res_total = _bitpack64(rlo, rhi, rp_bits, res_cap_words)
+        ok_word = (tok_ok & (res_total <= res_cap_words * 32)).astype(
+            jnp.int32)
 
     per_group_syms = valid_len.reshape(G, -1).sum(axis=1).astype(jnp.int32)
     per_group_rbits = r_bits.reshape(G, -1).sum(axis=1).astype(jnp.int32)
@@ -622,8 +781,12 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
     lf_w = jnp.clip(lf_w, 0, 32)
     lf_n = lf_res.shape[0]
     lf_cap_words = lf_n              # 32 bits/value worst case
-    lf_words, lf_total = _bitpack(
-        lf_res, jnp.full((lf_n,), 1, jnp.int32) * lf_w, lf_cap_words)
+    lf_nbits = jnp.full((lf_n,), 1, jnp.int32) * lf_w
+    if jax.default_backend() == "tpu":
+        lf_words, lf_total, _ = _bitpack_mxu(
+            (lf_res,), lf_nbits, lf_cap_words, ch=2048, max_field_bits=32)
+    else:
+        lf_words, lf_total = _bitpack(lf_res, lf_nbits, lf_cap_words)
 
     tail = jnp.concatenate([hist64, per_group_syms, per_group_rbits,
                             per_group_tbits])
@@ -633,7 +796,7 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
     tok_ck = _i32(jnp.sum(tok_words))
     res_ck = _i32(jnp.sum(res_words))
     aux = jnp.concatenate([
-        jnp.stack([tok_ok.astype(jnp.int32), tok_total, res_total, lf_w,
+        jnp.stack([ok_word, tok_total, res_total, lf_w,
                    aux_ck, lf_ck, tok_ck, res_ck]),
         tail,
     ])

@@ -153,9 +153,12 @@ def encode_image_sharded(image: np.ndarray, mesh=None,
             combined = out["combined"][j]
             aux = np.ascontiguousarray(combined[:A]).view(np.int32)
             preset = lfid // geo.lfg_per_preset
-            if not bool(aux[0]):
+            if not bool(aux[0] & 1):
                 # transport overflow (token beyond the 64-symbol
-                # alphabet): recompute this LF group unpacked on the
+                # alphabet, or aux[0]==2: a residue chunk past the fast
+                # packing budget -- this demo driver recomputes unpacked
+                # rather than re-running the whole sharded step wide):
+                # recompute this LF group unpacked on the
                 # default device, same as the Encoder's fallback
                 _lfg_unpacked_fallback(hf, asm, image, g, preset,
                                        linear_light, sample_fmt, cm_dev,

@@ -270,3 +270,102 @@ def test_analytic_clusters_match_gather(num_presets):
     ctx = np.concatenate([count_ctx[:, None], coeff_ctx], axis=-1)
     expect = cm[np.minimum(ctx, cm.size - 1)]
     assert (clusters == expect).all()
+
+
+@pytest.mark.parametrize("lanes,max_bits,ch", [
+    (1, 32, 64),      # token-quad shape (fields <= 32 bits)
+    (2, 48, 32),      # residue-pair shape (two u32 lanes)
+    (1, 32, 128),     # field count not divisible by ch (padding path)
+])
+def test_bitpack_mxu_equals_scatter(lanes, max_bits, ch):
+    """The chunked one-hot MXU bitpack (the TPU production path) must be
+    bit-identical to the scatter _bitpack/_bitpack64 (the CPU path and
+    format v2's definition), across zero-width fields, full-width
+    fields, chunk-boundary carries, and word-aligned chunk ends."""
+    rng = np.random.default_rng(lanes * 1000 + ch)
+    F = 5 * ch + (17 if ch == 128 else 0)
+    nbits = rng.integers(0, max_bits + 1, F).astype(np.int32)
+    nbits[rng.random(F) < 0.3] = 0          # common: empty slots
+    nbits[0] = max_bits                     # full-width first field
+    nbits[ch - 1] = 32                      # word-aligned chunk end bait
+    total64 = rng.integers(0, 1 << 62, F, dtype=np.uint64)
+    mask = (np.uint64(1) << nbits.astype(np.uint64)) - np.uint64(1)
+    vals = total64 & mask
+    lo = (vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (vals >> np.uint64(32)).astype(np.uint32)
+    cap = int((nbits.sum() + 31) // 32) + 2
+
+    if lanes == 1:
+        ref_w, ref_t = pipeline._bitpack(jnp.asarray(lo),
+                                         jnp.asarray(nbits), cap)
+        got_w, got_t, ok = pipeline._bitpack_mxu(
+            (jnp.asarray(lo),), jnp.asarray(nbits), cap, ch=ch,
+            max_field_bits=max_bits)
+    else:
+        ref_w, ref_t = pipeline._bitpack64(jnp.asarray(lo), jnp.asarray(hi),
+                                           jnp.asarray(nbits), cap)
+        got_w, got_t, ok = pipeline._bitpack_mxu(
+            (jnp.asarray(lo), jnp.asarray(hi)), jnp.asarray(nbits), cap,
+            ch=ch, max_field_bits=max_bits)
+    assert bool(ok)
+    assert int(got_t) == int(ref_t) == int(nbits.sum())
+    np.testing.assert_array_equal(np.asarray(got_w), np.asarray(ref_w))
+
+
+def test_bitpack_mxu_overflow_flag():
+    """A chunk packed denser than max_field_bits*ch must drop ok."""
+    ch = 32
+    nbits = np.full(ch, 48, np.int32)       # 48 > 24 budget everywhere
+    lo = np.full(ch, 0xDEADBEEF, np.uint32)
+    hi = np.full(ch, 0xFFFF, np.uint32)
+    _, _, ok = pipeline._bitpack_mxu(
+        (jnp.asarray(lo), jnp.asarray(hi)), jnp.asarray(nbits),
+        ch * 2, ch=ch, max_field_bits=24)
+    assert not bool(ok)
+
+
+def test_mxu_packed_payload_and_wide_retry(monkeypatch):
+    """The TPU (MXU pack) branch of encode_lfg_packed must produce a
+    combined payload byte-identical to the CPU scatter branch, and a
+    residue stream denser than the fast 12 b/slot budget must set the
+    retryable ok word (2) narrow and pack identically wide.  The branch
+    is selected by jax.default_backend() at trace time (not part of the
+    jit cache key), so this test patches it and clears the caches."""
+    import jax
+    from hydrium_tpu.jxl.tokcode import TokenCodec
+
+    cm = tables.hf_cluster_map(1)
+    lens, codes, _ = TokenCodec().tables()
+    kw = dict(buf_h=256, buf_w=256, linear_light=False, num_clusters=9,
+              sample_kind="float32", use_pallas=False, tok_classes=9)
+
+    def call(img, **extra):
+        return np.asarray(pipeline.encode_lfg_packed(
+            jnp.asarray(img), 256, 256, jnp.zeros(1, jnp.int32),
+            jnp.asarray(cm), jnp.asarray(lens), jnp.asarray(codes),
+            **kw, **extra)["combined"])
+
+    def clear():
+        pipeline.encode_lfg_packed.clear_cache()
+        pipeline.encode_lfg.clear_cache()
+
+    rng = np.random.default_rng(7)
+    base = rng.random((256, 256, 3)).astype(np.float32) * 2 - 1
+    mild = base * 100.0          # ~8 b/slot residues: fits the budget
+    dense = base * 1e4           # ~14 b/slot: needs the wide executable
+
+    ref_mild = call(mild)
+    ref_dense = call(dense)
+    assert ref_mild[0] == 1 and ref_dense[0] == 1
+
+    try:
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        clear()
+        np.testing.assert_array_equal(call(mild), ref_mild)
+        narrow = call(dense)
+        assert narrow[0] == 2                       # retryable, not ok
+        np.testing.assert_array_equal(call(dense, wide_residues=True),
+                                      ref_dense)
+    finally:
+        monkeypatch.undo()
+        clear()
