@@ -275,7 +275,7 @@ class _JaxDispatch:
     __slots__ = ("out", "lfg", "preset", "buf_h", "buf_w", "kwargs",
                  "presets_dev", "cm_dev", "px", "_aux", "_words",
                  "_pf_thread", "_pf_ran", "_hist_folded", "tok_lut",
-                 "_codec", "stats", "_wide")
+                 "_codec", "stats", "_wide", "_tag", "_future")
 
     # per-buffer-shape guess of the stream word count, fed back from the
     # previous LF group so the combined payload usually needs ONE fetch
@@ -297,6 +297,7 @@ class _JaxDispatch:
         px = np.zeros((buf_h, buf_w, 3), dtype=np.asarray(pixels).dtype)
         px[:h, :w] = pixels[:h, :w]
         self.lfg = lfg
+        self._tag = f"{lfg.y},{lfg.x}"
         self.preset = preset
         self.stats = stats
         self.buf_h, self.buf_w = buf_h, buf_w
@@ -315,7 +316,10 @@ class _JaxDispatch:
                            tok_classes=num_clusters // hf.num_presets)
         self.presets_dev = jnp.full((bgcy * bgcx,), preset, jnp.int32)
         self.cm_dev = jnp.asarray(hf.cluster_map)
-        self.px = jnp.asarray(px)
+        ev = (stats.event if stats is not None
+              else (lambda _n: __import__("contextlib").nullcontext()))
+        with ev(f"h2d[{self._tag}]"):
+            self.px = jnp.asarray(px)
         if hf.use_native:
             from .jxl.tokcode import TokenCodec
 
@@ -326,7 +330,8 @@ class _JaxDispatch:
             # drain time.  NOTE: Array.copy_to_host_async() is broken on
             # the axon remote-TPU backend (the later host read deadlocks),
             # so early-start transfers are deliberately not used here.
-            self._dispatch()
+            with ev(f"dispatch[{self._tag}]"):
+                self._dispatch()
         else:
             self.out = None
             self._codec = None
@@ -358,11 +363,20 @@ class _JaxDispatch:
     def start_prefetch(self, sem) -> None:
         """Run prefetch() on a daemon thread; `sem` serializes tunnel
         access across in-flight handles."""
+        import contextlib
         import threading
 
+        ev = (self.stats.event if self.stats is not None
+              else (lambda _n: contextlib.nullcontext()))
+
         def run():
-            with sem:
-                self.prefetch()
+            with ev(f"sem_wait[{self._tag}]"):
+                sem.acquire()
+            try:
+                with ev(f"prefetch_io[{self._tag}]"):
+                    self.prefetch()
+            finally:
+                sem.release()
 
         t = threading.Thread(target=run, daemon=True)
         self._pf_thread = t
@@ -496,7 +510,9 @@ class _JaxDispatch:
             if aux is not None and bool(aux[0] & 1):
                 parsed = _parse_packed(aux, self._words, self.buf_h,
                                        self.buf_w, lfg)
-                with stage("walk"):
+                ev = (stats.event if stats is not None
+                      else (lambda _n: contextlib.nullcontext()))
+                with stage("walk"), ev(f"walk[{self._tag}]"):
                     _feed_hf_packed(hf, parsed, lfg, self.buf_w, self.buf_h,
                                     self.preset, self.tok_lut)
                 if stats is not None:
@@ -641,16 +657,38 @@ class Encoder:
         self._codec = None
         if backend == "jax":
             import threading
+            from concurrent.futures import ThreadPoolExecutor
 
             self._codec = _shared_codec()
             self._fetch_sem = threading.Semaphore(1)
+            # single ordered worker: joins each LF group's prefetch, runs
+            # the C++ walk (ctypes releases the GIL) and, in streaming
+            # mode, the per-preset ANS encode -- all off the main thread,
+            # so serialization of LFG i overlaps the tunnel fetch of
+            # LFG i+1.  One worker => hf is mutated in strict dispatch
+            # order, exactly as the previous main-thread drain did.
+            self._drain_exec = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="drain")
 
         m = metadata
         from .jxl import native as _native
-        self.streaming = (streaming if streaming is not None
-                          else (m.one_frame
-                                and m.lfg_per_frame >= self.STREAMING_LFG_THRESHOLD
-                                and _native.available()))
+        # jax backend: ALWAYS stream one-frame encodes -- per-preset
+        # eager ANS runs on the drain worker and overlaps the next LF
+        # group's tunnel fetch, where the at-finalize scheme serializes
+        # the whole frame's ANS after the last fetch.  numpy backend
+        # keeps the at-finalize scheme below the threshold: it is the
+        # byte-parity conformance twin of the reference encoder.
+        # (single-group frames -- both dims <= 256 -- use a 1-entry TOC
+        # with all sections concatenated, which only the at-finalize
+        # assembler writes; they are too small for streaming to matter)
+        multi_group = ((m.width + 255) // 256) * ((m.height + 255) // 256) > 1
+        self.streaming = (bool(streaming) and multi_group
+                          if streaming is not None
+                          else (m.one_frame and _native.available()
+                                and multi_group
+                                and (backend == "jax"
+                                     or m.lfg_per_frame
+                                     >= self.STREAMING_LFG_THRESHOLD)))
         if m.one_frame:
             self._lfgs = [
                 LFGroupGeometry(
@@ -1027,6 +1065,11 @@ class Encoder:
             # LFG i-1 and dispatch of LFG i+1
             if handle.out is not None:
                 handle.start_prefetch(self._fetch_sem)
+            # queue the walk (+ streaming ANS) on the ordered drain
+            # worker: serialization of this LF group overlaps the NEXT
+            # LF group's tunnel fetch instead of blocking the main thread
+            handle._future = self._drain_exec.submit(
+                self._drain_work, handle)
             while len(self._pending) > self.MAX_INFLIGHT:
                 self._drain_one()
         else:
@@ -1039,16 +1082,26 @@ class Encoder:
                 with self.stats.stage("ans_encode"):
                     self._hf.finish_lfg(preset)
 
-    def _drain_one(self) -> None:
-        handle = self._pending.pop(0)
-        with self.stats.stage("fetch_wait"):
+    def _drain_work(self, handle):
+        """Runs on the single drain worker thread, in dispatch order:
+        join the prefetch, walk the payload into the HF stream (or run
+        the unpacked fallback), and in streaming mode finish the
+        preset's ANS sections.  hf is only ever touched from this
+        thread until finalize."""
+        with self.stats.event(f"join[{handle._tag}]"):
             handle.join_prefetch()
         with self.stats.stage("pipeline+transfer"):
             lf_q, lf_res = handle.drain(self._hf, self.stats)
-        self._write_lf(lf_q, lf_res)
         if self.streaming:
             with self.stats.stage("ans_encode"):
                 self._hf.finish_lfg(handle.preset)
+        return lf_q, lf_res
+
+    def _drain_one(self) -> None:
+        handle = self._pending.pop(0)
+        with self.stats.stage("fetch_wait"):
+            lf_q, lf_res = handle._future.result()
+        self._write_lf(lf_q, lf_res)
 
     def _write_lf(self, lf_q, lf_res) -> None:
         with self.stats.stage("lf_sections"):

@@ -18,14 +18,15 @@ from typing import Optional
 import numpy as np
 
 from ..config import ImageMetadata
-from ..jxl.frame import (FrameGeometry, HFStream, LFGroupGeometry,
-                         write_frame_header, write_lf_global, write_lf_group)
+from ..jxl.frame import (FrameGeometry, LFGroupGeometry, StreamingHFStream,
+                         TOC_TABLE, write_frame_header, write_lf_global,
+                         write_lf_group)
 from ..jxl import headers
-from ..encoder import _FrameAssembler, new_bitwriter
+from ..encoder import _SectionSpool, new_bitwriter
 from ..ops import tables
 
 
-def _lfg_unpacked_fallback(hf, asm, image, g, preset, linear_light,
+def _lfg_unpacked_fallback(hf, lf_spool, image, g, preset, linear_light,
                            sample_fmt, cm_dev, num_clusters,
                            clusters_per_preset) -> None:
     """Re-run one LF group through the unpacked pipeline (packed
@@ -42,9 +43,10 @@ def _lfg_unpacked_fallback(hf, asm, image, g, preset, linear_light,
         linear_light=linear_light, num_clusters=num_clusters,
         sample_kind=sample_fmt, clusters_per_preset=clusters_per_preset)
     vh, vw = g.varblock_height, g.varblock_width
-    write_lf_group(asm.working, np.asarray(out["lf_q"])[:vh, :vw],
+    bw = new_bitwriter()
+    write_lf_group(bw, np.asarray(out["lf_q"])[:vh, :vw],
                    np.asarray(out["lf_res"])[:vh, :vw])
-    asm.end_section()
+    lf_spool.add_raw(bw.export_raw())
     tokens = np.asarray(out["tokens"]).reshape(64, 1024, 3, 64)
     clusters = np.asarray(out["clusters"]).reshape(tokens.shape)
     residues = np.asarray(out["residues"]).reshape(tokens.shape)
@@ -73,6 +75,15 @@ def encode_image_sharded(image: np.ndarray, mesh=None,
     from ..ops import pipeline
 
     h, w = image.shape[:2]
+    if h <= 256 and w <= 256:
+        # single-group frame: 1-entry TOC, nothing to shard -- use the
+        # regular encoder (same bytes; it picks the at-finalize assembler)
+        from ..config import SampleFormat
+        from ..encoder import encode_image
+
+        return encode_image(image, tile_size_shift=-1, backend="jax",
+                            linear_light=linear_light,
+                            sample_fmt=SampleFormat(sample_fmt))
     meta = ImageMetadata(width=w, height=h, linear_light=linear_light)
     if mesh is None:
         mesh = shard.make_mesh()
@@ -89,7 +100,12 @@ def encode_image_sharded(image: np.ndarray, mesh=None,
                         lfg_count_x=meta.lfg_count_x, lf_groups=lfgs,
                         lfg_arrival=list(range(len(lfgs))))
 
-    hf = HFStream(geo.num_presets)
+    # streaming-format assembly (fixed-las per-preset sections), byte-
+    # identical to the jax-backend Encoder's one-frame output
+    counts = [0] * geo.num_presets
+    for _id in range(geo.lfg_per_frame):
+        counts[_id // geo.lfg_per_preset] += 1
+    hf = StreamingHFStream(geo.num_presets, counts)
     num_clusters = int(hf.cluster_map.max()) + 1
     cm_dev = jnp.asarray(hf.cluster_map)
 
@@ -115,9 +131,10 @@ def encode_image_sharded(image: np.ndarray, mesh=None,
 
     step = jax.jit(step)
 
-    asm = _FrameAssembler(geo.toc_size > 1)
-    write_lf_global(asm.working)
-    asm.end_section()
+    lf_spool = _SectionSpool(None)
+    bw = new_bitwriter()
+    write_lf_global(bw)
+    lf_spool.add_raw(bw.export_raw())
 
     dtype = image.dtype
     n = len(lfgs)
@@ -160,29 +177,48 @@ def encode_image_sharded(image: np.ndarray, mesh=None,
                 # rather than re-running the whole sharded step wide):
                 # recompute this LF group unpacked on the
                 # default device, same as the Encoder's fallback
-                _lfg_unpacked_fallback(hf, asm, image, g, preset,
+                _lfg_unpacked_fallback(hf, lf_spool, image, g, preset,
                                        linear_light, sample_fmt, cm_dev,
                                        num_clusters,
                                        num_clusters // geo.num_presets)
+                hf.finish_lfg(preset)
                 continue
             parsed = _parse_packed(aux, combined[A:], 2048, 2048, g)
-            write_lf_group(asm.working, None, parsed["lf_res"])
-            asm.end_section()
+            bw = new_bitwriter()
+            write_lf_group(bw, None, parsed["lf_res"])
+            lf_spool.add_raw(bw.export_raw())
             hf.add_lfg_packed(parsed["tok_words"], parsed["res_words"],
                               tok_lut, preset, (8, 8),
                               (g.varblock_height, g.varblock_width),
                               parsed["tok_off"], parsed["res_off"],
                               parsed["gs"])
+            hf.finish_lfg(preset)
 
-    hf.encode_group_sections()
-    hf.write_hf_global(asm.working, geo.num_frame_groups)
-    asm.end_section()
-    for gbw in hf.group_sections:
-        asm.working.append_writer(gbw)
-        asm.end_section()
+    hf.encode_group_sections()   # asserts every preset flushed
+    hfg = new_bitwriter()
+    hf.write_hf_global(hfg, geo.num_frame_groups)
+    hfg_raw = hfg.export_raw()
+    hf_items = list(hf.iter_section_meta())
+    sizes = [lf_spool.padded_size(i) for i in range(len(lf_spool.items))]
+    sizes.append(len(hfg_raw[0]) + (1 if hfg_raw[2] else 0))
+    sizes.extend(n_ + (1 if tb else 0) for _, tb, n_ in hf_items)
 
     main = new_bitwriter()
     headers.write_image_header(main, w, h, meta.level10)
     write_frame_header(main, geo, True)
-    asm.write_toc_sizes(main)
-    return main.finalize() + asm.working.finalize()
+    main.zero_pad()
+    for s in sizes:
+        main.write_u32(TOC_TABLE, s)
+    main.zero_pad()
+
+    out_parts = [main.finalize()]
+    for i in range(len(lf_spool.items)):
+        out_parts.extend(lf_spool.emit(i))
+    out_parts.append(hfg_raw[0])
+    if hfg_raw[2]:
+        out_parts.append(bytes([hfg_raw[1] & 0xFF]))
+    for data, tail_val, tail_bits in hf.iter_sections():
+        out_parts.append(data)
+        if tail_bits:
+            out_parts.append(bytes([tail_val & 0xFF]))
+    return b"".join(out_parts)

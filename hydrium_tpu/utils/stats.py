@@ -23,9 +23,28 @@ class EncodeStats:
     section_sizes: List[int] = field(default_factory=list)
     counters: Dict[str, int] = field(default_factory=lambda: defaultdict(int))
     last_error: Optional[str] = None
+    # opt-in cross-thread event timeline: (stage, t0, t1, thread-name)
+    # tuples, filled by stage() when enabled via enable_timeline()
+    events: Optional[List] = field(default=None, repr=False, compare=False)
     # counters/stages are updated from prefetch worker threads too
     _lock: threading.Lock = field(default_factory=threading.Lock,
                                   repr=False, compare=False)
+
+    def enable_timeline(self) -> None:
+        self.events = []
+
+    def timeline(self) -> str:
+        """Render the event log as a per-thread Gantt-ish text table
+        (times relative to the first event, ms)."""
+        if not self.events:
+            return "(timeline disabled or empty)"
+        ev = sorted(self.events, key=lambda e: e[1])
+        t_base = ev[0][1]
+        lines = ["  t0_ms    t1_ms    dur_ms  thread           stage"]
+        for name, t0, t1, thr in ev:
+            lines.append(f"  {1e3*(t0-t_base):8.1f} {1e3*(t1-t_base):8.1f} "
+                         f"{1e3*(t1-t0):8.1f}  {thr:<16} {name}")
+        return "\n".join(lines)
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -33,9 +52,28 @@ class EncodeStats:
         try:
             yield
         finally:
-            dt = time.perf_counter() - t0
+            t1 = time.perf_counter()
             with self._lock:
-                self.stage_seconds[name] += dt
+                self.stage_seconds[name] += t1 - t0
+                if self.events is not None:
+                    self.events.append(
+                        (name, t0, t1, threading.current_thread().name))
+
+    @contextlib.contextmanager
+    def event(self, name: str):
+        """Timeline-only span (no stage_seconds aggregation); no-op
+        unless enable_timeline() was called."""
+        if self.events is None:
+            yield
+            return
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            t1 = time.perf_counter()
+            with self._lock:
+                self.events.append(
+                    (name, t0, t1, threading.current_thread().name))
 
     def count(self, name: str, n: int = 1) -> None:
         with self._lock:
