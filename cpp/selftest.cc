@@ -120,10 +120,12 @@ static void test_hf_padded_and_packed() {
   hyd_hf_free(h);
   printf("hf padded ok\n");
 
-  // packed walker (format v2): Huffman-coded tokens via a fixed-length
+  // packed walker (format v3): Huffman-coded tokens via a fixed-length
   // transport code (all symbols 6 bits, canonical LSB-first = reversed
   // 6-bit symbol) + residue bits; no valid-length sidecar -- the walker
-  // reconstructs symbol counts from the decoded nonzero counts.
+  // reconstructs symbol counts from the decoded nonzero counts.  The
+  // streams are word-aligned chunked: tokens realign every 64 block-
+  // channels, residues every 32 (ops/pipeline.py format v3).
   auto rev6 = [](uint32_t v) {
     uint32_t r = 0;
     for (int i = 0; i < 6; i++) r |= ((v >> i) & 1) << (5 - i);
@@ -149,6 +151,9 @@ static void test_hf_padded_and_packed() {
   };
   int64_t total_syms = 0;
   for (int b = 0; b < blocks * 3; b++) {
+    // format v3 chunk alignment (pad-to-word on chunk entry)
+    if (b % 64 == 0 && tbits) put(tw, tcache, tbits, 0, 32 - tbits);
+    if (b % 32 == 0 && rbitsn) put(rw, rcache, rbitsn, 0, 32 - rbitsn);
     int nz = rnd() % 15;
     uint32_t count = nz;
     uint32_t ctok = count < 16 ? count : 16 + ((31 - __builtin_clz(count)) - 1 - 3) * 2 + ((count >> ((31 - __builtin_clz(count)) - 1)) & 1);

@@ -905,7 +905,7 @@ struct BitReader {
   }
 };
 
-// Walk one group's packed streams (payload format v2) into a
+// Walk one group's packed streams (payload format v3) into a
 // caller-provided Sym range.  Tokens are transport-Huffman-coded
 // (<=12-bit codes, LSB-first; LUT entry = symbol | length << 8) and
 // there is no valid-length sidecar: the number of coefficient symbols
@@ -913,6 +913,13 @@ struct BitReader {
 // exactly as a JXL decoder does (encoder.c:689-750 emits coefficients
 // until the nonzeros are exhausted).  gbh/gbw give the group's true
 // varblock extent; blocks beyond it emitted nothing on the device.
+//
+// Format v3 chunking (ops/pipeline.py module comment): the token
+// stream realigns to a 32-bit word boundary every 64 block-channels
+// (4096 slots), the residue stream every 32 block-channels, counting
+// ALL block positions of the 32x32 buffer group (including those
+// beyond gbh/gbw, which emitted 0 bits).  Chunks never straddle a
+// group, so per-group offsets stay word-aligned.
 // Returns symbols written, or SIZE_MAX on a corrupt/overflowing stream.
 static size_t walk_group_packed(const uint32_t* token_words, long tok_bit_off,
                          const uint32_t* residue_words, long res_bit_off,
@@ -925,11 +932,24 @@ static size_t walk_group_packed(const uint32_t* token_words, long tok_bit_off,
   Sym* dst = out;
   Sym* end = out + out_cap;
   uint8_t counts[32][32][3];
+  long tch = 0, rch = 0;  // current token/residue chunk index
   for (int by = 0; by < gbh; by++) {
     for (int bx = 0; bx < 32; bx++) {
       if (bx >= gbw) continue;  // beyond the group's true extent
       for (int c = 0; c < 3; c++) {
         if (dst == end) return SIZE_MAX;
+        // format v3: realign to a word boundary on chunk entry (skipped
+        // block-channels emitted 0 bits, so a single align collapses
+        // any number of crossed empty chunks)
+        long bc = ((long)by * 32 + bx) * 3 + c;
+        if ((bc >> 6) != tch) {
+          tr.bitpos = (tr.bitpos + 31) & ~(size_t)31;
+          tch = bc >> 6;
+        }
+        if ((bc >> 5) != rch) {
+          rr.bitpos = (rr.bitpos + 31) & ~(size_t)31;
+          rch = bc >> 5;
+        }
         // the context (hence cluster, hence transport code class) is
         // known BEFORE each token is decoded -- same property the ANS
         // decoder relies on

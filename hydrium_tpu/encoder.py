@@ -188,7 +188,7 @@ def _unpack_lf(words: np.ndarray, lf_n: int, lf_w: int) -> np.ndarray:
 
 
 def _parse_packed(aux: np.ndarray, words, buf_h: int, buf_w: int, lfg):
-    """Decode one packed v2 aux payload (+ fetched stream words) into
+    """Decode one packed v3 aux payload (+ fetched stream words) into
     the pieces the serializer needs; None when the ok flag is unset.
 
     Layout contract: ops/pipeline.py encode_lfg_packed (see its module
@@ -226,7 +226,7 @@ def _parse_packed(aux: np.ndarray, words, buf_h: int, buf_w: int, lfg):
 
 
 def packed_need_words(aux: np.ndarray, buf_h: int, buf_w: int) -> int:
-    """Stream word count (past the aux prefix) for a v2 aux payload."""
+    """Stream word count (past the aux prefix) for a v3 aux payload."""
     lf_n = (buf_h >> 3) * (buf_w >> 3) * 3
     lf_used = (lf_n * int(aux[3]) + 31) >> 5
     return lf_used + ((int(aux[1]) + 31) >> 5) + ((int(aux[2]) + 31) >> 5)

@@ -352,7 +352,7 @@ class HFStream:
     def add_lfg_packed(self, tok_words, res_words, tok_lut, preset, grid,
                        extent, tok_bit_offs, res_bit_offs,
                        sym_counts) -> None:
-        """Bulk packed walk of a whole LF group (payload v2, threaded in
+        """Bulk packed walk of a whole LF group (payload v3, threaded in
         C++; handles partial grids / phantom buffer groups itself)."""
         assert self.use_native
         self._native.add_lfg_packed(tok_words, res_words, tok_lut,

@@ -390,7 +390,7 @@ def encode_lfg(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# packed-payload variant: near-entropy device->host transfer (format v2)
+# packed-payload variant: near-entropy device->host transfer (format v3)
 # ---------------------------------------------------------------------------
 #
 # Payload layout (u32 words), shared with encoder._parse_packed,
@@ -420,8 +420,8 @@ def encode_lfg(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
 #     [..+G]     per-group token bit counts
 #   then, at dynamic word offsets:
 #     LF residuals, pack_signed at fixed width W over the full buffer
-#     varblock grid; Huffman-coded tokens (transport code; <= 8
-#     bits/token); raw residue bits.
+#     varblock grid (bit-contiguous); Huffman-coded tokens (transport
+#     code; <= 8 bits/token); raw residue bits.
 #
 # Tokens are transport-Huffman-coded with host-supplied per-cluster
 # codes (9 classes, selected by the same within-preset context
@@ -430,6 +430,23 @@ def encode_lfg(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
 # gone entirely -- the walker reconstructs each block-channel's symbol
 # count from the decoded nonzero count, exactly as a JXL decoder does
 # (encoder.c:689-750).
+#
+# Format v3 (word-aligned chunks): the token and residue streams are
+# sequences of CHUNKS of TOK_CHUNK=4096 / RES_CHUNK=2048 slot-fields,
+# each chunk's bits starting at a 32-bit word boundary (<= 31 pad-zero
+# bits between chunks, ~36 KB per 2048^2 LF group).  Chunk boundaries
+# fall every 64 (tokens) / 32 (residues) block-channels in flat group
+# order and therefore NEVER straddle a group (3072 block-channels per
+# group), so the reader needs no side table: it rounds its bit cursor
+# up to the next word boundary whenever the block-channel counter
+# crosses a chunk boundary.  The per-group bit counts in aux are the
+# PADDED (word-aligned) totals, so per-group offsets remain plain
+# cumulative sums.  Rationale: word-aligned chunks let the device
+# compact the one-hot-packed chunks with a shift-free overwrite
+# dynamic_update_slice scan, and single fields need no pair/quad
+# pre-combining -- the [M/2, 2]-shaped combine reshapes of format v2
+# cost ~62 ms per LF group on TPU ((8,128)-tile-hostile minor dim),
+# ~6x the entire remaining pipeline.
 
 
 def _bitpack(values: jnp.ndarray, nbits: jnp.ndarray,
@@ -617,31 +634,85 @@ def _bitpack_mxu(lanes, nbits, num_words: int, ch: int, max_field_bits: int):
     return words, total, ok
 
 
-def _combine_quads(values: jnp.ndarray, nbits: jnp.ndarray):
-    """Merge 4 adjacent fields (each <= 8 bits) into one <= 32-bit field
-    -- quarters the bitpack scatter updates while producing an identical
-    bit stream (LSB-first concatenation is associative)."""
-    v4 = values.reshape(-1, 4).astype(jnp.uint32)
-    b4 = nbits.reshape(-1, 4).astype(jnp.uint32)
-    o1 = b4[:, 0]
-    o2 = o1 + b4[:, 1]
-    o3 = o2 + b4[:, 2]
-    field = (v4[:, 0] | (v4[:, 1] << o1) | (v4[:, 2] << o2)
-             | (v4[:, 3] << o3))
-    return field, (o3 + b4[:, 3]).astype(jnp.int32)
+# format-v3 chunk geometry: slots per chunk and the per-chunk one-hot
+# output width (words).  TOK_OW covers the worst case (8-bit transport
+# codes: 8*4096 bits = 1024 words + carry slack), so token chunks can
+# never overflow; residue chunks are budgeted at 12 (fast) / 24 (wide
+# retry) bits per slot on average.
+TOK_CHUNK, TOK_OW = 4096, 1040
+RES_CHUNK, RES_OW_FAST, RES_OW_WIDE = 2048, 784, 1552
 
 
-def _combine_pairs64(values: jnp.ndarray, nbits: jnp.ndarray):
-    """Merge 2 adjacent fields (each <= 31 bits) into one <= 62-bit
-    field as (lo32, hi) u32 lanes -- halves the residue scatter count."""
-    v2 = values.reshape(-1, 2).astype(jnp.uint32)
-    b2 = nbits.reshape(-1, 2).astype(jnp.uint32)
-    b0 = b2[:, 0]
-    lo = v2[:, 0] | (v2[:, 1] << b0)            # u32 truncation is exact
-    inv = jnp.uint32(32) - b0
-    hi = jnp.where(inv < 32, v2[:, 1] >> jnp.minimum(inv, jnp.uint32(31)),
-                   0)
-    return lo, hi, (b0 + b2[:, 1]).astype(jnp.int32)
+def _chunk_layout(nbits: jnp.ndarray, ch: int):
+    """Field bit offsets for format v3's word-aligned chunking.
+
+    nbits [F] i32 (F % ch == 0).  Returns (off [F] absolute bit offset
+    of each field, nw [R] words per chunk, chunk_bits [R]); chunk r
+    starts at word sum(nw[:r])."""
+    F = nbits.shape[0]
+    R = F // ch
+    nb = nbits.reshape(R, ch).astype(jnp.int32)
+    inc = jnp.cumsum(nb, axis=1)
+    chunk_bits = inc[:, -1]
+    nw = (chunk_bits + 31) >> 5
+    wstart = jnp.cumsum(nw) - nw
+    off = (wstart[:, None] * 32 + (inc - nb)).reshape(F)
+    return off, nw, chunk_bits
+
+
+def _bitpack_at(values: jnp.ndarray, nbits: jnp.ndarray, off: jnp.ndarray,
+                num_words: int) -> jnp.ndarray:
+    """Scatter variable-width (<= 32-bit) fields at caller-supplied
+    absolute bit offsets -- the CPU/test-backend twin of the TPU one-hot
+    chunk pack (identical words for the same _chunk_layout offsets)."""
+    word = (off >> 5).astype(jnp.int32)
+    shift = (off & 31).astype(jnp.uint32)
+    v = values.astype(jnp.uint32)
+    lo = v << shift
+    hi = jnp.where(shift > 0, v >> (jnp.uint32(32) - shift), 0)
+    words = jnp.zeros((num_words,), jnp.uint32)
+    words = words.at[word].add(lo, mode="drop")
+    words = words.at[jnp.minimum(word + 1, num_words - 1)].add(
+        hi, mode="drop")
+    return words
+
+
+def _overwrite_compact(chunks: jnp.ndarray, nw: jnp.ndarray,
+                       num_words: int) -> jnp.ndarray:
+    """Place word-aligned chunks contiguously: chunk r's full OW-word row
+    lands at word sum(nw[:r]) with one dynamic_update_slice per step; the
+    next chunk overwrites the previous one's zero tail.  Shift-free (no
+    bit carries), ~3-5 ms for the 3-6K chunks of a 2048^2 LF group."""
+    R, OW = chunks.shape
+    wstart = jnp.cumsum(nw) - nw
+
+    def body(buf, xs):
+        chw, st = xs
+        return jax.lax.dynamic_update_slice(buf, chw, (st,)), None
+
+    # + OW + 2 pad so the dus never clamps backward over earlier chunks
+    buf0 = jnp.zeros((num_words + OW + 2,), jnp.uint32)
+    buf, _ = jax.lax.scan(body, buf0, (chunks, wstart), unroll=4)
+    return buf[:num_words]
+
+
+def _bitpack_v3(values: jnp.ndarray, nbits: jnp.ndarray, ch: int, ow: int,
+                num_words: int, use_mxu: bool):
+    """Pack single fields into format v3's word-aligned chunk stream.
+
+    Returns (words [num_words], nw [R] words per chunk, chunk_bits [R]).
+    When any chunk's bits exceed (ow-1)*32 the words are garbage -- the
+    caller must check chunk_bits and fall back / retry wide.  The MXU
+    and scatter forms are bit-identical."""
+    if use_mxu:
+        chunks, chunk_bits, _ok = _onehot_pack_chunks((values,), nbits,
+                                                      ch, ow)
+        nw = (chunk_bits + 31) >> 5
+        words = _overwrite_compact(chunks, nw, num_words)
+    else:
+        off, nw, chunk_bits = _chunk_layout(nbits, ch)
+        words = _bitpack_at(values, nbits, off, num_words)
+    return words, nw, chunk_bits
 
 
 @partial(jax.jit, static_argnames=("buf_h", "buf_w", "linear_light",
@@ -658,7 +729,7 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
                       tok_classes: int = 9,
                       wide_residues: bool = False) -> Dict[str, jnp.ndarray]:
     """encode_lfg + on-device stream packing to minimize interconnect
-    traffic (payload format v2, see module comment above).
+    traffic (payload format v3, see module comment above).
 
     tok_len[9*64]/tok_code[9*64]: per-cluster transport Huffman codes
     for the token stream (jxl/tokcode.py), LSB-first codewords, lengths
@@ -732,40 +803,38 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
     r_flat = jnp.where(valid, residues, 0).reshape(M)
     r_bits = jnp.where(valid, residue_bits.astype(jnp.int32), 0).reshape(M)
 
-    tok_cap_words = (M * 8 + 31) // 32       # MAX_LEN = 8 (tokcode.py)
-    res_cap_words = (M * 24 + 31) // 32
-    tq, tq_bits = _combine_quads(t_flat, t_bits)
-    rlo, rhi, rp_bits = _combine_pairs64(r_flat, r_bits)
-    if jax.default_backend() == "tpu":
-        # chunked one-hot MXU pack + carry-scan compaction: bit-identical
-        # to the scatter path but ~10x faster on TPU (see _onehot_pack_
-        # chunks).  Token quads are <= 32 bits by construction (transport
-        # MAX_LEN 8).  Residue chunks are budgeted at 12 bits/slot --
-        # plenty for real content (noise packs ~1-7 b/slot) and half the
-        # pack+scan cost of the format's 24 b/slot stream budget; a
-        # denser chunk sets ok=2 ("retry with wide_residues=True", a
-        # second cached executable at the full budget) instead of 1.
-        res_budget = 48 if wide_residues else 24
-        tok_words, tok_total, _ = _bitpack_mxu(
-            (tq,), tq_bits, tok_cap_words, ch=4096, max_field_bits=32)
-        res_words, res_total, res_okc = _bitpack_mxu(
-            (rlo, rhi), rp_bits, res_cap_words, ch=2048,
-            max_field_bits=res_budget)
-        fits = res_total <= res_cap_words * 32
-        ok_full = tok_ok & res_okc & fits
-        retryable = (tok_ok & fits & ~res_okc) if not wide_residues \
-            else jnp.bool_(False)
-        ok_word = jnp.where(ok_full, jnp.int32(1),
-                            jnp.where(retryable, jnp.int32(2), jnp.int32(0)))
+    # format v3: single fields (no pair/quad pre-combining) into word-
+    # aligned chunks.  Tokens can never overflow their chunk (transport
+    # MAX_LEN 8 * 4096 slots = 1024 words <= TOK_OW-1); residue chunks
+    # are budgeted at 12 bits/slot average -- plenty for real content
+    # (noise packs ~1-7 b/slot) -- and a denser chunk sets ok=2 ("retry
+    # with wide_residues=True", a second cached executable at the
+    # format's full 24 b/slot budget) instead of 1.
+    res_ow = RES_OW_WIDE if wide_residues else RES_OW_FAST
+    tok_cap_words = (M // TOK_CHUNK) * 1024
+    res_cap_words = (M // RES_CHUNK) * (res_ow - 1)
+    use_mxu = jax.default_backend() == "tpu"
+    tok_words, tok_nw, _tok_cb = _bitpack_v3(
+        t_flat, t_bits, TOK_CHUNK, TOK_OW, tok_cap_words, use_mxu)
+    res_words, res_nw, res_cb = _bitpack_v3(
+        r_flat, r_bits, RES_CHUNK, res_ow, res_cap_words, use_mxu)
+    tok_total = 32 * jnp.sum(tok_nw)
+    res_total = 32 * jnp.sum(res_nw)
+    res_okc = jnp.all(res_cb <= (res_ow - 1) * 32)
+    ok_full = tok_ok & res_okc
+    if wide_residues:
+        retryable = jnp.bool_(False)
     else:
-        tok_words, tok_total = _bitpack(tq, tq_bits, tok_cap_words)
-        res_words, res_total = _bitpack64(rlo, rhi, rp_bits, res_cap_words)
-        ok_word = (tok_ok & (res_total <= res_cap_words * 32)).astype(
-            jnp.int32)
+        retryable = (tok_ok & ~res_okc
+                     & jnp.all(res_cb <= (RES_OW_WIDE - 1) * 32))
+    ok_word = jnp.where(ok_full, jnp.int32(1),
+                        jnp.where(retryable, jnp.int32(2), jnp.int32(0)))
 
     per_group_syms = valid_len.reshape(G, -1).sum(axis=1).astype(jnp.int32)
-    per_group_rbits = r_bits.reshape(G, -1).sum(axis=1).astype(jnp.int32)
-    per_group_tbits = t_bits.reshape(G, -1).sum(axis=1).astype(jnp.int32)
+    # per-group PADDED totals (multiples of 32) so host offsets stay
+    # plain cumulative sums; chunks never straddle a group
+    per_group_rbits = 32 * res_nw.reshape(G, -1).sum(axis=1).astype(jnp.int32)
+    per_group_tbits = 32 * tok_nw.reshape(G, -1).sum(axis=1).astype(jnp.int32)
 
     # LF residuals at a dynamic fixed width W = bits of the largest
     # pack_signed residual; replaces shipping raw i16 LF values (v1) and
@@ -823,14 +892,14 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
     return {"combined": combined}
 
 
-# aux layout constants (format v2); see the module comment above
+# aux layout constants (format v3); see the module comment above
 AUX_SCALARS = 8
 AUX_HIST = slice(8, 8 + 9 * 64)
 
 
 def packed_aux_len(buf_h: int, buf_w: int) -> int:
     """Length (in 32-bit words) of the fixed aux prefix of the combined
-    packed payload for a given buffer shape (format v2)."""
+    packed payload for a given buffer shape (format v3)."""
     G = (buf_h >> 8) * (buf_w >> 8)
     return AUX_SCALARS + 9 * 64 + 3 * G
 

@@ -280,7 +280,7 @@ def test_analytic_clusters_match_gather(num_presets):
 def test_bitpack_mxu_equals_scatter(lanes, max_bits, ch):
     """The chunked one-hot MXU bitpack (the TPU production path) must be
     bit-identical to the scatter _bitpack/_bitpack64 (the CPU path and
-    format v2's definition), across zero-width fields, full-width
+    format v2's bit-contiguous definition, still used for LF), across zero-width fields, full-width
     fields, chunk-boundary carries, and word-aligned chunk ends."""
     rng = np.random.default_rng(lanes * 1000 + ch)
     F = 5 * ch + (17 if ch == 128 else 0)
@@ -355,8 +355,10 @@ def test_mxu_packed_payload_and_wide_retry(monkeypatch):
     dense = base * 1e4           # ~14 b/slot: needs the wide executable
 
     ref_mild = call(mild)
-    ref_dense = call(dense)
-    assert ref_mild[0] == 1 and ref_dense[0] == 1
+    assert ref_mild[0] == 1
+    assert call(dense)[0] == 2       # retryable on the CPU branch too
+    ref_dense = call(dense, wide_residues=True)
+    assert ref_dense[0] == 1
 
     try:
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
