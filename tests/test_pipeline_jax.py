@@ -324,6 +324,36 @@ def test_bitpack_mxu_overflow_flag():
     assert not bool(ok)
 
 
+@pytest.mark.parametrize("kind", ["tok", "res"])
+def test_bitpack_v3_quad_equals_scatter(kind):
+    """The quad-combined MXU chunk pack (production TPU form of
+    _bitpack_v3) must be bit-identical to the field-level scatter form
+    (the CPU backend), at the production chunk geometries."""
+    rng = np.random.default_rng(99 if kind == "tok" else 100)
+    if kind == "tok":
+        ch, ow, maxb = pipeline.TOK_CHUNK, pipeline.TOK_OW, 8
+        F = 2 * ch                       # two chunks
+        nbits = rng.integers(1, 9, F).astype(np.int32)
+    else:
+        ch, ow, maxb = pipeline.RES_CHUNK, pipeline.RES_OW_WIDE, 30
+        F = 2 * ch
+        nbits = rng.integers(0, 27, F).astype(np.int32)
+        nbits[rng.random(F) < 0.4] = 0
+    nbits[ch - 1] = min(maxb, 32)        # chunk-boundary bait
+    vals = (rng.integers(0, 1 << 31, F).astype(np.uint32)
+            & ((np.uint32(1) << nbits.astype(np.uint32)) - np.uint32(1)))
+    cap = int((nbits.sum() + 31) // 32) + ow + 2
+    ref_w, ref_nw, ref_cb = pipeline._bitpack_v3(
+        jnp.asarray(vals), jnp.asarray(nbits), ch, ow, cap, False,
+        max_field_bits=maxb)
+    got_w, got_nw, got_cb = pipeline._bitpack_v3(
+        jnp.asarray(vals), jnp.asarray(nbits), ch, ow, cap, True,
+        max_field_bits=maxb)
+    np.testing.assert_array_equal(np.asarray(ref_cb), np.asarray(got_cb))
+    np.testing.assert_array_equal(np.asarray(ref_nw), np.asarray(got_nw))
+    np.testing.assert_array_equal(np.asarray(ref_w), np.asarray(got_w))
+
+
 def test_mxu_packed_payload_and_wide_retry(monkeypatch):
     """The TPU (MXU pack) branch of encode_lfg_packed must produce a
     combined payload byte-identical to the CPU scatter branch, and a
