@@ -219,9 +219,41 @@ def main():
     }))
 
 
+def device_plane_parent() -> int:
+    """Same wedge-resilient parent/child protocol as the e2e bench, for
+    the --device-plane measurement (scripts/scale_artifacts.py runs
+    this; a wedged tunnel otherwise hangs it forever)."""
+    import subprocess
+
+    for attempt in range(4):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--device-plane", "--child"],
+                capture_output=True, text=True, timeout=900)
+        except subprocess.TimeoutExpired:
+            print(f"bench: device-plane attempt {attempt} timed out "
+                  f"(tunnel wedge), retrying", file=sys.stderr, flush=True)
+            continue
+        sys.stderr.write(r.stderr)
+        line = next((l for l in r.stdout.splitlines()
+                     if l.startswith("{")), None)
+        if r.returncode == 0 and line:
+            print(line)
+            return 0
+        print(f"bench: device-plane attempt {attempt} failed "
+              f"rc={r.returncode}", file=sys.stderr, flush=True)
+    print(json.dumps({"metric": "device-plane packed pipeline",
+                      "error": "all attempts wedged"}))
+    return 1
+
+
 if __name__ == "__main__":
     if "--device-plane" in sys.argv:
-        device_plane()
+        if "--child" in sys.argv:
+            device_plane()
+        else:
+            sys.exit(device_plane_parent())
     elif "--child" in sys.argv:
         main()
     else:

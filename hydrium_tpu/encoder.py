@@ -130,13 +130,15 @@ def _save_warm_state() -> None:
 
 
 def _bucket_words(n: int, cap: int) -> int:
-    """Smallest m * 2^k >= n with m in 4..8: bounds fetch over-read to
-    ~12% while keeping the set of compiled slicers small (4/octave)."""
+    """Smallest m * 2^k >= n with m in 16..32: bounds fetch over-read to
+    ~3% (every byte over-read is tunnel time on this rig) while keeping
+    the set of compiled slicers bounded (16/octave, cached
+    persistently)."""
     if n >= cap:
         return cap
-    if n <= 8:
+    if n <= 32:
         return n
-    k = (n - 1).bit_length() - 3
+    k = (n - 1).bit_length() - 5
     return min((((n + (1 << k) - 1) >> k) << k), cap)
 
 
@@ -905,8 +907,10 @@ class Encoder:
                     if g.height == th and g.width == tw]
         payloads: dict = {}
 
-        for c0 in range(0, len(full_idx), K_stack):
-            chunk = full_idx[c0:c0 + K_stack]
+        def dispatch_chunk(chunk):
+            """One dispatch; returns (chunk, px, out, lut) for fetching.
+            The decode LUT snapshots the table set this dispatch packed
+            with (the codec adapts between dispatches)."""
             px = np.zeros((K_stack * th, tw, 3),
                           dtype=np.asarray(entries[0][0]).dtype)
             for j, i in enumerate(chunk):
@@ -917,6 +921,20 @@ class Encoder:
                     jnp.asarray(px), K_stack * th, tw,
                     jnp.zeros(((K_stack * th >> 8) * gcx,), jnp.int32),
                     cm_dev, jnp.asarray(lens), jnp.asarray(codes), **kwargs)
+            return chunk, px, out, lut, lens, codes
+
+        # dispatch-ahead pipeline: chunk c+1's upload/compute overlaps
+        # chunk c's payload fetch (round-3 item: tiled-mode prefetch
+        # pipelining across batches)
+        inflight = []
+        chunks = [full_idx[c0:c0 + K_stack]
+                  for c0 in range(0, len(full_idx), K_stack)]
+        for ci in range(len(chunks) + 1):
+            if ci < len(chunks):
+                inflight.append(dispatch_chunk(chunks[ci]))
+            if len(inflight) <= (1 if ci < len(chunks) else 0):
+                continue
+            chunk, px, out, lut, lens, codes = inflight.pop(0)
             stacked_geom = LFGroupGeometry(
                 x=0, y=0, width=tw, height=K_stack * th,
                 tile_count_x=gcx, tile_count_y=K_stack * th >> 8)

@@ -400,9 +400,10 @@ def encode_lfg(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
 #   aux (fixed A = 8 + 576 + 3*G words):
 #     [0]        ok word: bit 0 = payload valid; value 2 = invalid but
 #                retryable with wide_residues=True (a residue chunk
-#                exceeded the fast 12 b/slot packing budget; the wide
-#                executable packs the format's full 24 b/slot budget);
-#                0 -> caller falls back to the unpacked path
+#                exceeded the fast packing budget -- ~12 b/slot
+#                aggregate or RES_CAP_FAST bits in one field; the wide
+#                executable packs the format's full ~24 b/slot,
+#                30 b/field budget); 0 -> caller falls back unpacked
 #     [1]        total token bits
 #     [2]        total residue bits
 #     [3]        LF residual field width W (bits per value, 0..32)
@@ -641,9 +642,13 @@ def _bitpack_mxu(lanes, nbits, num_words: int, ch: int, max_field_bits: int):
 # retry) bits per slot on average.
 TOK_CHUNK, TOK_OW = 4096, 1040
 RES_CHUNK, RES_OW_FAST, RES_OW_WIDE = 2048, 784, 1552
-# u32 lanes per quad-combined residue field (4 x <=30 bits) -- also the
-# per-chunk carry slack the ok thresholds must leave
-RES_LANES = 4
+# Per-field residue width caps: the fast executable packs quads of
+# <=15-bit fields in 2 u32 lanes (any wider field -> ok=2, retry wide;
+# real content's quantized HF residues are <=10 bits), the wide one
+# covers the format's full <=30 bits in 4 lanes.  The lane count is
+# also the per-chunk carry slack the ok thresholds must leave.
+RES_CAP_FAST, RES_LANES_FAST = 15, 2
+RES_CAP_WIDE, RES_LANES_WIDE = 30, 4
 
 
 def _chunk_layout(nbits: jnp.ndarray, ch: int):
@@ -812,10 +817,12 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
     for the token stream (jxl/tokcode.py), LSB-first codewords, lengths
     1..12, indexed class*64+token where class = cluster % tok_classes
     (the within-preset cluster id; tok_classes = clusters per preset,
-    9/3/2/1 per tables.hf_cluster_map).  The ok flag drops (-> unpacked
-    fallback) only when a token exceeds the 64-symbol transport alphabet
-    or the residue stream overflows its 24-bit/slot budget; LF residuals
-    can no longer overflow (their field width is dynamic)."""
+    9/3/2/1 per tables.hf_cluster_map).  ok=2 asks for a wide retry (a
+    residue chunk denser than the fast aggregate budget, or any field
+    wider than RES_CAP_FAST); ok drops to 0 (-> unpacked fallback) only
+    when a token exceeds the 64-symbol transport alphabet or residues
+    overflow even the wide budget; LF residuals can no longer overflow
+    (their field width is dynamic)."""
     out = encode_lfg(pixels, height, width, presets, cluster_map,
                      buf_h=buf_h, buf_w=buf_w, linear_light=linear_light,
                      num_clusters=num_clusters, sample_kind=sample_kind,
@@ -880,35 +887,40 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
     r_flat = jnp.where(valid, residues, 0).reshape(M)
     r_bits = jnp.where(valid, residue_bits.astype(jnp.int32), 0).reshape(M)
 
-    # format v3: single fields (no pair/quad pre-combining) into word-
-    # aligned chunks.  Tokens can never overflow their chunk (transport
-    # MAX_LEN 8 * 4096 slots = 1024 words <= TOK_OW-1); residue chunks
-    # are budgeted at 12 bits/slot average -- plenty for real content
-    # (noise packs ~1-7 b/slot) -- and a denser chunk sets ok=2 ("retry
-    # with wide_residues=True", a second cached executable at the
-    # format's full 24 b/slot budget) instead of 1.
+    # format v3 packing: fields into word-aligned chunks (the MXU form
+    # quad-combines adjacent fields first).  Tokens can never overflow
+    # their chunk (transport MAX_LEN 8 * 4096 slots = 1024 words <=
+    # TOK_OW-1); residue chunks are budgeted at ~12 bits/slot average
+    # and RES_CAP_FAST bits/field -- plenty for real content (noise
+    # packs ~1-7 b/slot, fields <= ~10 bits) -- and denser content sets
+    # ok=2 ("retry with wide_residues=True", a second cached executable
+    # at the format's full ~24 b/slot, 30 b/field budget) instead of 1.
     res_ow = RES_OW_WIDE if wide_residues else RES_OW_FAST
+    res_cap = RES_CAP_WIDE if wide_residues else RES_CAP_FAST
+    res_lanes = RES_LANES_WIDE if wide_residues else RES_LANES_FAST
     tok_cap_words = (M // TOK_CHUNK) * 1024
-    res_cap_words = (M // RES_CHUNK) * (res_ow - RES_LANES)
+    res_cap_words = (M // RES_CHUNK) * (res_ow - res_lanes)
     use_mxu = jax.default_backend() == "tpu"
     tok_words, tok_nw, _tok_cb = _bitpack_v3(
         t_flat, t_bits, TOK_CHUNK, TOK_OW, tok_cap_words, use_mxu,
         max_field_bits=8)
     res_words, res_nw, res_cb = _bitpack_v3(
         r_flat, r_bits, RES_CHUNK, res_ow, res_cap_words, use_mxu,
-        max_field_bits=30)
+        max_field_bits=res_cap)
     tok_total = 32 * jnp.sum(tok_nw)
     res_total = 32 * jnp.sum(res_nw)
-    # thresholds leave RES_LANES words of carry slack per chunk (the
+    # thresholds leave res_lanes words of carry slack per chunk (the
     # quad lanes of the MXU pack); identical on both backends so the ok
     # flag -- format semantics -- never depends on the compute path
-    res_okc = jnp.all(res_cb <= (res_ow - RES_LANES) * 32)
+    res_fit = jnp.all(r_bits <= res_cap)
+    res_okc = jnp.all(res_cb <= (res_ow - res_lanes) * 32) & res_fit
     ok_full = tok_ok & res_okc
     if wide_residues:
         retryable = jnp.bool_(False)
     else:
         retryable = (tok_ok & ~res_okc
-                     & jnp.all(res_cb <= (RES_OW_WIDE - RES_LANES) * 32))
+                     & jnp.all(res_cb <= (RES_OW_WIDE - RES_LANES_WIDE)
+                               * 32))
     ok_word = jnp.where(ok_full, jnp.int32(1),
                         jnp.where(retryable, jnp.int32(2), jnp.int32(0)))
 

@@ -137,3 +137,19 @@ def test_planar_input_matches_packed():
     b = Encoder(ImageMetadata(width=120, height=100))
     b.send_tile((img[..., 0], img[..., 1], img[..., 2]), 0, 0)
     assert a.take_output() == b.take_output()
+
+
+def test_bucket_words_bounds():
+    """Fetch buckets must cover n, never exceed cap, and over-read at
+    most ~6.3% past n (worst just above a power of two; every over-read
+    byte is tunnel time)."""
+    from hydrium_tpu.encoder import _bucket_words
+
+    cap = 1 << 22
+    for n in list(range(1, 200)) + [255, 256, 1000, 4097, 65535, 1 << 20,
+                                    cap - 1, cap, cap + 5]:
+        b = _bucket_words(n, cap)
+        assert b >= min(n, cap)
+        assert b <= cap
+        if n <= cap and n > 32:
+            assert b < n * 1.063, (n, b)

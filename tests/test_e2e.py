@@ -171,3 +171,26 @@ def test_tile_batch_equals_per_tile():
         enc_b.send_tile(px, tx, ty)
     per_tile = enc_b.take_output()
     assert batched == per_tile
+
+
+def test_tile_batch_multi_chunk_equals_per_tile():
+    """>16 full 256-px tiles span several stacked dispatches, exercising
+    the dispatch-ahead pipeline (chunk c+1 in flight during chunk c's
+    fetch); bytes must still equal the per-tile path."""
+    from hydrium_tpu.config import ImageMetadata
+    from hydrium_tpu.encoder import Encoder
+
+    img = make_image(512, 2400, "gradient", seed=16)
+    meta = ImageMetadata(width=2400, height=512, tile_size_shift_x=0,
+                         tile_size_shift_y=0)
+    entries = [(img[ty * 256:(ty + 1) * 256, tx * 256:(tx + 1) * 256],
+                tx, ty)
+               for ty in range(2) for tx in range(10)]
+    enc_a = Encoder(meta, backend="jax")
+    enc_a.send_tile_batch(entries)
+    batched = enc_a.take_output()
+
+    enc_b = Encoder(meta, backend="jax")
+    for px, tx, ty in entries:
+        enc_b.send_tile(px, tx, ty)
+    assert batched == enc_b.take_output()

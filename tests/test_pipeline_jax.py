@@ -390,6 +390,15 @@ def test_mxu_packed_payload_and_wide_retry(monkeypatch):
     ref_dense = call(dense, wide_residues=True)
     assert ref_dense[0] == 1
 
+    # a single >RES_CAP_FAST-bit residue field (token still < 64) must
+    # be retryable even when the aggregate chunk budget is fine
+    spike = mild.copy()
+    spike[0:8, 0:8, :] = 0.0
+    spike[0, 0, 0] = 2.0e5           # one huge DCT coeff -> ~18b residue
+    got = call(spike)
+    assert got[0] == 2
+    assert call(spike, wide_residues=True)[0] == 1
+
     try:
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         clear()
