@@ -142,12 +142,14 @@ def _bucket_words(n: int, cap: int) -> int:
     return min((((n + (1 << k) - 1) >> k) << k), cap)
 
 
-def _fetch_range(arr, start: int, length: int) -> np.ndarray:
-    """Fetch arr[start:start+length(+1)] with a bucketed static length
-    and dynamic start."""
+_FETCH_DEBUG = os.environ.get("HYDRIUM_FETCH_DEBUG") == "1"
+
+
+def _slice_once(arr, start: int, n: int) -> np.ndarray:
+    """One device->host slice read: dynamic start, bucketed static
+    length (so each buffer size compiles a handful of slicers)."""
     import jax
 
-    n = min(length + 1, arr.shape[0] - start)
     b = _bucket_words(n, arr.shape[0])
     key = ("rng", int(arr.shape[0]), b, str(arr.dtype))
     f = _SLICERS.get(key)
@@ -156,22 +158,60 @@ def _fetch_range(arr, start: int, length: int) -> np.ndarray:
         _SLICERS[key] = f
     s0 = min(start, arr.shape[0] - b)
     off = start - s0
+    if _FETCH_DEBUG:
+        import sys
+        import time
+
+        t0 = time.perf_counter()
+        dev = f(arr, s0)
+        t1 = time.perf_counter()
+        out = np.asarray(dev)
+        t2 = time.perf_counter()
+        print(f"  stripe s0={s0} n={n} b={b}: exec {1e3*(t1-t0):.1f}ms "
+              f"d2h {1e3*(t2-t1):.1f}ms ({4*b/1e6/(t2-t1):.1f} MB/s)",
+              file=sys.stderr, flush=True)
+        return out[off:off + n]
     return np.asarray(f(arr, s0))[off:off + n]
 
 
-def _fetch_prefix(arr, nwords: int) -> np.ndarray:
-    """Fetch arr[:nwords] (+1 safety word) with bucketed static slices
-    so each buffer size compiles a handful of slicers."""
-    import jax
+# the axon tunnel gives each d2h stream only a fraction of the link
+# (measured ~12-20 MB/s single-stream vs ~40 MB/s aggregate with 8
+# concurrent reads), so large fetches are striped across a small thread
+# pool of parallel slice reads.  256K words (1 MB) per stripe keeps the
+# slicer cache tiny (every interior stripe shares one executable).
+_STRIPE_WORDS = 256 * 1024
+_FETCH_POOL = None
 
-    n = min(nwords + 1, arr.shape[0])
-    b = _bucket_words(n, arr.shape[0])
-    key = (int(arr.shape[0]), b, str(arr.dtype))
-    f = _SLICERS.get(key)
-    if f is None:
-        f = jax.jit(lambda a, _b=b: a[:_b])
-        _SLICERS[key] = f
-    return np.asarray(f(arr))[:n]
+
+def _fetch_pool():
+    global _FETCH_POOL
+    if _FETCH_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _FETCH_POOL = ThreadPoolExecutor(max_workers=8,
+                                         thread_name_prefix="hyd-fetch")
+    return _FETCH_POOL
+
+
+def _fetch_range(arr, start: int, length: int) -> np.ndarray:
+    """Fetch arr[start:start+length(+1)], striped into concurrent slice
+    reads when large enough to benefit."""
+    n = min(length + 1, arr.shape[0] - start)
+    if n <= 2 * _STRIPE_WORDS:
+        return _slice_once(arr, start, n)
+    starts = list(range(0, n - _STRIPE_WORDS + 1, _STRIPE_WORDS))
+    tail = n - (starts[-1] + _STRIPE_WORDS)
+    futs = [_fetch_pool().submit(_slice_once, arr, start + s, _STRIPE_WORDS)
+            for s in starts]
+    if tail:
+        futs.append(_fetch_pool().submit(_slice_once, arr,
+                                         start + n - tail, tail))
+    return np.concatenate([f.result() for f in futs])
+
+
+def _fetch_prefix(arr, nwords: int) -> np.ndarray:
+    """Fetch arr[:nwords] (+1 safety word)."""
+    return _fetch_range(arr, 0, min(nwords, arr.shape[0] - 1))
 
 
 def _unpack_lf(words: np.ndarray, lf_n: int, lf_w: int) -> np.ndarray:
