@@ -333,10 +333,15 @@ class _JaxDispatch:
 
         h, w = lfg.height, lfg.width
         # bucket the device buffer to 256-multiples of the true extent:
-        # edge LF groups stop paying full-buffer upload/compute/payload
+        # edge LF groups stop paying full-buffer compute/payload
         buf_h = min(lfg.tile_count_y << 8, ((h + 255) >> 8) << 8)
         buf_w = min(lfg.tile_count_x << 8, ((w + 255) >> 8) << 8)
-        px = np.zeros((buf_h, buf_w, 3), dtype=np.asarray(pixels).dtype)
+        # ...and upload only a 32-bucketed extent (padded to the group
+        # buffer on device): h2d is the critical path on this rig, and
+        # the skipped rows/cols are zeros by contract
+        ubuf_h = min(buf_h, ((h + 31) >> 5) << 5)
+        ubuf_w = min(buf_w, ((w + 31) >> 5) << 5)
+        px = np.zeros((ubuf_h, ubuf_w, 3), dtype=np.asarray(pixels).dtype)
         px[:h, :w] = pixels[:h, :w]
         self.lfg = lfg
         self._tag = f"{lfg.y},{lfg.x}"

@@ -286,12 +286,19 @@ def encode_lfg(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
                clusters_per_preset: int = 0) -> Dict[str, jnp.ndarray]:
     """Full device pipeline for one LF group (or one tile-frame).
 
-    pixels: [buf_h, buf_w, 3] padded buffer; `height`/`width` are the true
-    dims (traced scalars) so one executable serves every LFG shape.
+    pixels: [uh <= buf_h, uw <= buf_w, 3] buffer; `height`/`width` are
+    the true dims (traced scalars) so one executable serves every LFG
+    shape.  Undersized pixel buffers are zero-padded ON DEVICE to
+    [buf_h, buf_w]: edge LF groups then upload only ~their true extent
+    instead of a full 256-multiple buffer (h2d is the bottleneck on a
+    remote-TPU link, and the padding rows are zeros by contract anyway).
     presets: [G_buf] preset per group (raster over the buffer's group
     grid).  use_pallas selects the fused Pallas frontend (color/DCT/
     quant in one VMEM pass) over the plain-XLA ops.
     Returns device arrays; the host slices valid regions."""
+    uh, uw = pixels.shape[0], pixels.shape[1]
+    if uh != buf_h or uw != buf_w:
+        pixels = jnp.pad(pixels, ((0, buf_h - uh), (0, buf_w - uw), (0, 0)))
     vbh, vbw = buf_h >> 3, buf_w >> 3          # buffer varblock grid
     gcy, gcx = buf_h >> 8, buf_w >> 8          # buffer group grid
     height = jnp.asarray(height, jnp.int32)
