@@ -17,7 +17,8 @@ import time
 
 import numpy as np
 
-BASELINE_MPPS = 3.19  # reference, 4K noisy, 1 core (BASELINE.md)
+BASELINE_MPPS = 3.19         # reference, 4K noisy, 1 core (BASELINE.md)
+BASELINE_SMOOTH_MPPS = 11.0  # reference, 4K smooth, 1 core (BASELINE.md)
 
 
 def make_4k_noisy(seed=0):
@@ -29,6 +30,17 @@ def make_4k_noisy(seed=0):
     base = 128 + 80 * np.sin(xx / 97.0 + phase) * np.cos(yy / 53.0 - phase)
     noise = rng.normal(0, 24, (h, w, 3)).astype(np.float32)
     return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def make_4k_smooth():
+    """Smooth gradient content (the reference's fast case: few nonzero
+    HF coefficients, 11.0 Mpix/s on 1 core -- BASELINE.md)."""
+    h, w = 2160, 3840
+    yy = np.arange(h, dtype=np.float32)[:, None, None]
+    xx = np.arange(w, dtype=np.float32)[None, :, None]
+    phase = np.array([0.0, 1.3, 2.1], np.float32)
+    base = 128 + 80 * np.sin(xx / 971.0 + phase) * np.cos(yy / 533.0 - phase)
+    return np.clip(base, 0, 255).astype(np.uint8)
 
 
 def parent(iters: int) -> int:
@@ -57,8 +69,17 @@ def parent(iters: int) -> int:
                      if l.startswith("{")), None)
         if r.returncode == 0 and line:
             got = json.loads(line)
-            if best is None or got["value"] > best["value"]:
+            if best is None:
                 best = got
+            else:
+                # best-of per metric: a child can land on a slow-tunnel
+                # window for one content kind and not the other
+                if got["value"] > best["value"]:
+                    best.update({k: got[k] for k in
+                                 ("value", "vs_baseline")})
+                if got.get("smooth_mpix_s", 0) > best.get("smooth_mpix_s", 0):
+                    best.update({k: got[k] for k in
+                                 ("smooth_mpix_s", "smooth_vs_baseline")})
             done += 1
             if done >= 2:
                 break
@@ -176,21 +197,12 @@ def device_plane(iters: int = 50) -> dict:
     return out
 
 
-def main():
-    from hydrium_tpu import encode_image
+def _measure(img, iters, label):
+    """Best-of-iters one-frame encode; returns (mpix_s, stats)."""
     from hydrium_tpu.config import ImageMetadata, SampleFormat
     from hydrium_tpu.encoder import Encoder
 
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    img = make_4k_noisy()
     pixels = img.shape[0] * img.shape[1]
-
-    # warmup: one full-image encode compiles all four bucketed buffer
-    # shapes (2048x2048, 2048x1792, 256x2048, 256x1792) and the
-    # transfer-path slicers (cached persistently thereafter)
-    print("bench: warmup/compile...", file=sys.stderr, flush=True)
-    encode_image(img, tile_size_shift=-1, backend="jax")
-
     best = float("inf")
     data = b""
     stats = None
@@ -206,23 +218,42 @@ def main():
                               sample_fmt=SampleFormat.UINT8)
                 out.extend(enc.take_output())
         dt = time.perf_counter() - t0
-        print(f"bench: iter {i}: {dt:.2f}s ({pixels/dt/1e6:.2f} Mpix/s)",
-              file=sys.stderr, flush=True)
+        print(f"bench[{label}]: iter {i}: {dt:.2f}s "
+              f"({pixels/dt/1e6:.2f} Mpix/s)", file=sys.stderr, flush=True)
         if dt < best:
             best = dt
             data = bytes(out)
             stats = enc.stats
-
     assert data[:2] == b"\xff\x0a" or data[4:8] == b"JXL ", data[:8].hex()
-    if stats is not None:
-        print("bench: stage breakdown (best iter):\n" + stats.summary(),
-              file=sys.stderr, flush=True)
-    mpps = pixels / best / 1e6
+    print(f"bench[{label}]: stage breakdown (best iter):\n"
+          + stats.summary(), file=sys.stderr, flush=True)
+    return pixels / best / 1e6, stats
+
+
+def main():
+    from hydrium_tpu import encode_image
+
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    img = make_4k_noisy()
+
+    # warmup: one full-image encode compiles all four bucketed buffer
+    # shapes (2048x2048, 2048x1792, 256x2048, 256x1792) and the
+    # transfer-path slicers (cached persistently thereafter)
+    print("bench: warmup/compile...", file=sys.stderr, flush=True)
+    encode_image(img, tile_size_shift=-1, backend="jax")
+
+    mpps, _ = _measure(img, iters, "noisy")
+    # smooth content: the reference's fast case (BASELINE.md 11.0
+    # Mpix/s); payload is tiny so this is the h2d-bound number
+    smooth_mpps, _ = _measure(make_4k_smooth(), max(2, iters // 2),
+                              "smooth")
     print(json.dumps({
         "metric": "4K RGB8 one-frame encode throughput",
         "value": round(mpps, 3),
         "unit": "Mpixels/s",
         "vs_baseline": round(mpps / BASELINE_MPPS, 2),
+        "smooth_mpix_s": round(smooth_mpps, 3),
+        "smooth_vs_baseline": round(smooth_mpps / BASELINE_SMOOTH_MPPS, 2),
     }))
 
 

@@ -345,6 +345,44 @@ def packed_verify(aux: np.ndarray, words, buf_h: int, buf_w: int) -> bool:
     return True
 
 
+def fetch_packed_payload(combined, buf_h: int, buf_w: int, stats=None):
+    """Fetch one combined packed payload from a device array with the
+    hint-sized prefix + ranged top-up protocol -> (aux, words_or_None).
+
+    `combined` may be any 1-D device array (a single-device output or
+    one shard's device-local data); the fetch-size hints are shared
+    per buffer shape across all callers in the process.  words is None
+    when the aux is corrupt or the ok flag is unset."""
+    from .ops.pipeline import packed_aux_len
+
+    A = packed_aux_len(buf_h, buf_w)
+    key = (buf_h, buf_w)
+    hint = _JaxDispatch._HINTS.get(key, 1 << 18)
+    first = _fetch_prefix(combined, A + hint)
+    aux = np.ascontiguousarray(first[:A]).view(np.int32)
+    words = None
+    if not packed_verify(aux, None, buf_h, buf_w):
+        # corrupt aux: do not trust its stream sizes (they would
+        # poison the fetch hint and trigger a giant range fetch)
+        return aux, None
+    if bool(aux[0] & 1):
+        need = packed_need_words(aux, buf_h, buf_w)
+        _JaxDispatch._HINTS[key] = need
+        have = len(first) - A
+        if have >= need + 1:
+            words = first[A:A + need + 1]
+        else:
+            tail = _fetch_range(combined, A + have, need + 1 - have)
+            words = np.concatenate([first[A:], tail])
+        if stats is not None:
+            stats.count("fetched_words", A + max(need + 1, have))
+            lf_n = (buf_h >> 3) * (buf_w >> 3) * 3
+            stats.count("lf_words", (lf_n * int(aux[3]) + 31) >> 5)
+            stats.count("tok_words", (int(aux[1]) + 31) >> 5)
+            stats.count("res_words", (int(aux[2]) + 31) >> 5)
+    return aux, words
+
+
 def _feed_hf_packed(hf, parsed, lfg, buf_w: int, buf_h: int, preset: int,
                     tok_lut) -> None:
     """Feed a parsed packed payload into an HF stream (bulk-threaded C++
@@ -480,35 +518,8 @@ class _JaxDispatch:
 
     def _fetch_once(self):
         """One fetch attempt -> (aux, words_or_None)."""
-        from .ops.pipeline import packed_aux_len
-
-        A = packed_aux_len(self.buf_h, self.buf_w)
-        key = (self.buf_h, self.buf_w)
-        hint = self._HINTS.get(key, 1 << 18)
-        combined = self.out["combined"]
-        first = _fetch_prefix(combined, A + hint)
-        aux = np.ascontiguousarray(first[:A]).view(np.int32)
-        words = None
-        if not packed_verify(aux, None, self.buf_h, self.buf_w):
-            # corrupt aux: do not trust its stream sizes (they would
-            # poison the fetch hint and trigger a giant range fetch)
-            return aux, None
-        if bool(aux[0] & 1):
-            need = packed_need_words(aux, self.buf_h, self.buf_w)
-            self._HINTS[key] = need
-            have = len(first) - A
-            if have >= need + 1:
-                words = first[A:A + need + 1]
-            else:
-                tail = _fetch_range(combined, A + have, need + 1 - have)
-                words = np.concatenate([first[A:], tail])
-            if self.stats is not None:
-                self.stats.count("fetched_words", A + max(need + 1, have))
-                lf_n = (self.buf_h >> 3) * (self.buf_w >> 3) * 3
-                self.stats.count("lf_words", (lf_n * int(aux[3]) + 31) >> 5)
-                self.stats.count("tok_words", (int(aux[1]) + 31) >> 5)
-                self.stats.count("res_words", (int(aux[2]) + 31) >> 5)
-        return aux, words
+        return fetch_packed_payload(self.out["combined"], self.buf_h,
+                                    self.buf_w, stats=self.stats)
 
     def prefetch(self) -> None:
         """Pull the combined payload to the host (run on a worker thread

@@ -61,7 +61,8 @@ def _lfg_unpacked_fallback(hf, lf_spool, image, g, preset, linear_light,
 
 def encode_image_sharded(image: np.ndarray, mesh=None,
                          linear_light: bool = False,
-                         sample_fmt: str = "uint8") -> bytes:
+                         sample_fmt: str = "uint8",
+                         stats=None) -> bytes:
     """Encode [H, W, 3] as a one-frame .jxl with LFGs sharded over a mesh.
 
     Processes ceil(n_lfgs / mesh_size) batches; each batch runs the
@@ -156,21 +157,37 @@ def encode_image_sharded(image: np.ndarray, mesh=None,
         ww[len(ids):] = 256
         out = step(jnp.asarray(px), jnp.asarray(hh), jnp.asarray(ww),
                    jnp.asarray(pr))
-        # NOTE: full-array fetch; per-shard prefix fetch (as the
-        # single-device path does) is the multi-host optimization.
-        out = {k: np.asarray(v) for k, v in out.items()}
 
-        from ..encoder import _parse_packed
+        from ..encoder import _parse_packed, fetch_packed_payload
 
-        from ..ops.pipeline import packed_aux_len
+        # per-shard prefix fetch: each device's combined payload is
+        # pulled with the same hint-sized-prefix + ranged-top-up
+        # protocol as the single-device path, instead of materializing
+        # the whole (worst-case-sized) combined buffer for every shard
+        # -- on a real pod that full fetch is ~45+ MB per 2048^2 LFG
+        shard_rows = {}
+        for s in out["combined"].addressable_shards:
+            j0 = s.index[0].start or 0
+            rows = s.data.shape[0]
+            for r in range(rows):
+                shard_rows[j0 + r] = s.data[r]
 
-        A = packed_aux_len(2048, 2048)
         for j, lfid in enumerate(ids):
             g = lfgs[lfid]
-            combined = out["combined"][j]
-            aux = np.ascontiguousarray(combined[:A]).view(np.int32)
             preset = lfid // geo.lfg_per_preset
-            if not bool(aux[0] & 1):
+            from ..encoder import packed_verify
+
+            aux, words = fetch_packed_payload(shard_rows[j], 2048, 2048,
+                                              stats=stats)
+            if words is not None and not packed_verify(aux, words, 2048,
+                                                       2048):
+                # one refetch on a corrupt transfer, then surrender
+                aux, words = fetch_packed_payload(shard_rows[j], 2048,
+                                                  2048, stats=stats)
+                if words is not None and not packed_verify(aux, words,
+                                                           2048, 2048):
+                    words = None
+            if words is None or not bool(aux[0] & 1):
                 # transport overflow (token beyond the 64-symbol
                 # alphabet, or aux[0]==2: a residue chunk past the fast
                 # packing budget -- this demo driver recomputes unpacked
@@ -183,7 +200,7 @@ def encode_image_sharded(image: np.ndarray, mesh=None,
                                        num_clusters // geo.num_presets)
                 hf.finish_lfg(preset)
                 continue
-            parsed = _parse_packed(aux, combined[A:], 2048, 2048, g)
+            parsed = _parse_packed(aux, words, 2048, 2048, g)
             bw = new_bitwriter()
             write_lf_group(bw, None, parsed["lf_res"])
             lf_spool.add_raw(bw.export_raw())
