@@ -38,6 +38,7 @@ int hyd_hf_prepare(HydHF*);
 int hyd_hf_encode_all(HydHF*, int, HydWriter**, int);
 int hyd_hf_write_header(HydHF*, const uint8_t*, long, HydWriter*);
 void hyd_hf_force_las(HydHF*, int);
+long hyd_lf_decode(const uint32_t*, const uint16_t*, long, long, uint32_t*);
 }
 
 static uint64_t rng_state = 0x9E3779B97F4A7C15ull;
@@ -131,11 +132,12 @@ static void test_hf_padded_and_packed() {
     for (int i = 0; i < 6; i++) r |= ((v >> i) & 1) << (5 - i);
     return r;
   };
-  // 9 classes, all using the same fixed 6-bit code
-  std::vector<uint16_t> lut(9 * 256);
+  // 9 classes, all using the same fixed 6-bit code (12-bit decode LUTs,
+  // format v4: transport codes are <= 12 bits)
+  std::vector<uint16_t> lut(9 * 4096);
   for (int k = 0; k < 9; k++)
-    for (uint32_t idx = 0; idx < 256; idx++)
-      lut[k * 256 + idx] = (uint16_t)(rev6(idx & 63) | (6 << 8));
+    for (uint32_t idx = 0; idx < 4096; idx++)
+      lut[k * 4096 + idx] = (uint16_t)(rev6(idx & 63) | (6 << 8));
   std::vector<uint32_t> tw, rw;
   uint64_t tcache = 0, rcache = 0;
   int tbits = 0, rbitsn = 0;
@@ -196,9 +198,69 @@ static void test_hf_padded_and_packed() {
   printf("hf packed ok\n");
 }
 
+// Format-v4 LF residual stream: hybrid-uint-tokenized fields under one
+// fixed 6-bit transport code; hyd_lf_decode must reconstruct the exact
+// pack_signed values and land on the exact bit count.
+static void test_lf_decode() {
+  auto rev6 = [](uint32_t v) {
+    uint32_t r = 0;
+    for (int i = 0; i < 6; i++) r |= ((v >> i) & 1) << (5 - i);
+    return r;
+  };
+  std::vector<uint16_t> lut(4096);
+  for (uint32_t idx = 0; idx < 4096; idx++)
+    lut[idx] = (uint16_t)(rev6(idx & 63) | (6 << 8));
+  const long n = 5000;
+  std::vector<uint32_t> vals(n), lfw;
+  uint64_t cache = 0;
+  int nbits = 0;
+  long total = 0;
+  for (long i = 0; i < n; i++) {
+    uint32_t v = rnd() % ((i % 7 == 0) ? (1u << 20) : 16u);
+    vals[i] = v;
+    uint32_t tok, res;
+    int rb;
+    if (v < 16) {
+      tok = v; res = 0; rb = 0;
+    } else {
+      int fl = 31 - __builtin_clz(v);
+      rb = fl - 1;
+      tok = 16 + (((uint32_t)(rb - 3) << 1) | ((v >> rb) & 1));
+      res = v & ((1u << rb) - 1);
+    }
+    cache |= (uint64_t)rev6(tok) << nbits;
+    nbits += 6;
+    cache |= (uint64_t)res << nbits;
+    nbits += rb;
+    total += 6 + rb;
+    while (nbits >= 32) {
+      lfw.push_back((uint32_t)cache);
+      cache >>= 32;
+      nbits -= 32;
+    }
+  }
+  if (nbits) lfw.push_back((uint32_t)cache);
+  lfw.push_back(0);
+  lfw.push_back(0);
+  std::vector<uint32_t> out(n);
+  long end = hyd_lf_decode(lfw.data(), lut.data(), n, total, out.data());
+  if (end != total) {
+    fprintf(stderr, "lf decode end %ld != %ld\n", end, total);
+    exit(1);
+  }
+  for (long i = 0; i < n; i++)
+    if (out[i] != vals[i]) {
+      fprintf(stderr, "lf decode mismatch at %ld: %u != %u\n", i, out[i],
+              vals[i]);
+      exit(1);
+    }
+  printf("lf decode ok\n");
+}
+
 int main() {
   test_prefix_streams();
   test_hf_padded_and_packed();
+  test_lf_decode();
   printf("selftest passed\n");
   return 0;
 }

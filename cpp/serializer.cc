@@ -885,14 +885,14 @@ static const int32_t kCoeffNumNzCtx[64] = {
 struct BitReader {
   const uint32_t* words;
   size_t bitpos = 0;
-  // 8-bit lookahead for LUT prefix decode (transport codes are <= 8
-  // bits); callers guarantee one slack word past the last payload word
-  // (the host fetches +1).
-  uint32_t peek8() const {
+  // 12-bit lookahead for LUT prefix decode (transport codes are <= 12
+  // bits, jxl/tokcode.py MAX_LEN); callers guarantee one slack word
+  // past the last payload word (the host fetches +1).
+  uint32_t peek12() const {
     size_t w = bitpos >> 5;
     int s = bitpos & 31;
     uint64_t v = ((uint64_t)words[w] | ((uint64_t)words[w + 1] << 32)) >> s;
-    return (uint32_t)v & 0xFF;
+    return (uint32_t)v & 0xFFF;
   }
   uint32_t read(int nbits) {
     if (!nbits) return 0;
@@ -967,7 +967,7 @@ static size_t walk_group_packed(const uint32_t* token_words, long tok_bit_off,
                              ? predicted
                              : 4 + (std::min<uint32_t>(predicted, 64) >> 1);
         uint8_t cluster = cmap[3 * nzctx + c];
-        uint16_t e = lut[(cluster % tok_classes) * 256 + tr.peek8()];
+        uint16_t e = lut[(cluster % tok_classes) * 4096 + tr.peek12()];
         uint32_t tok = e & 0xFF;
         tr.bitpos += e >> 8;
         int rb = tok < 16 ? 0 : (int)((tok - 16) >> 1) + 3;
@@ -994,7 +994,7 @@ static size_t walk_group_packed(const uint32_t* token_words, long tok_bit_off,
                     ((kCoeffNumNzCtx[remaining > 63 ? 63 : remaining]
                       + kCoeffFreqCtx[k]) << 1);
           uint8_t cl2 = cmap[ctx];
-          e = lut[(cl2 % tok_classes) * 256 + tr.peek8()];
+          e = lut[(cl2 % tok_classes) * 4096 + tr.peek12()];
           tok = e & 0xFF;
           tr.bitpos += e >> 8;
           rb = tok < 16 ? 0 : (int)((tok - 16) >> 1) + 3;
@@ -1031,9 +1031,31 @@ static size_t walk_group_packed(const uint32_t* token_words, long tok_bit_off,
 // extent) produce no HF section.  Returns 0, or -1 when any group's
 // walked symbol count disagrees with the device's count (the caller
 // must then discard this HydHF).
+// Decode the format-v4 LF residual stream: lf_n bit-contiguous fields,
+// each a transport-Huffman hybrid-uint token (class-9 LUT, 4096
+// entries) followed by its raw residue bits.  out[i] receives the
+// reconstructed pack_signed residual.  Returns the final bit position
+// (the caller checks it equals aux[3]), or -1 if the cursor ever runs
+// past max_bits (corrupt stream; checksums make this near-impossible,
+// but the reader must not run off the fetched buffer).
+long hyd_lf_decode(const uint32_t* words, const uint16_t* lut, long lf_n,
+                   long max_bits, uint32_t* out) {
+  BitReader br{words, 0};
+  for (long i = 0; i < lf_n; i++) {
+    if (br.bitpos > (size_t)max_bits) return -1;
+    uint16_t e = lut[br.peek12()];
+    uint32_t tok = e & 0xFF;
+    br.bitpos += e >> 8;
+    int rb = tok < 16 ? 0 : (int)((tok - 16) >> 1) + 3;
+    uint32_t res = br.read(rb);
+    out[i] = tok < 16 ? tok : ((2u | ((tok - 16) & 1)) << rb) | res;
+  }
+  return (long)br.bitpos;
+}
+
 int hyd_hf_add_lfg_packed(HydHF* h, const uint32_t* token_words,
                           const uint32_t* residue_words,
-                          const uint16_t* tok_lut,  // [tok_classes, 256]
+                          const uint16_t* tok_lut,  // [tok_classes, 4096]
                           int tok_classes,
                           const uint8_t* cluster_map, uint32_t preset,
                           long gcy, long gcx, long vh, long vw,

@@ -258,53 +258,49 @@ def _fetch_prefix(arr, nwords: int) -> np.ndarray:
     return _fetch_range(arr, 0, min(nwords, arr.shape[0] - 1))
 
 
-def _unpack_lf(words: np.ndarray, lf_n: int, lf_w: int) -> np.ndarray:
-    """Extract lf_n fixed-width (lf_w-bit) fields from a little-endian
-    u32 word array -> uint32 (pack_signed residuals, still zigzagged --
-    exactly what write_lf_group's modular stream consumes)."""
-    if lf_w == 0:
-        return np.zeros(lf_n, np.uint32)
-    idx = np.arange(lf_n, dtype=np.int64) * lf_w
-    w = idx >> 5
-    s = (idx & 31).astype(np.uint64)
-    lo = words[w].astype(np.uint64)
-    hi = words[w + 1].astype(np.uint64)
-    u = ((lo | (hi << np.uint64(32))) >> s) & np.uint64((1 << lf_w) - 1)
-    return u.astype(np.uint32)
+def _parse_packed(aux: np.ndarray, words, buf_h: int, buf_w: int, lfg,
+                  lf_lut=None):
+    """Decode one packed v4 aux payload (+ fetched stream words) into
+    the pieces the serializer needs; None when the ok flag is unset or
+    the LF stream fails to decode.
 
-
-def _parse_packed(aux: np.ndarray, words, buf_h: int, buf_w: int, lfg):
-    """Decode one packed v3 aux payload (+ fetched stream words) into
-    the pieces the serializer needs; None when the ok flag is unset.
+    lf_lut: u16[4096] class-9 transport decode LUT snapshotted from the
+    dispatch that packed this payload (jxl/tokcode.py LF_CLASS row);
+    required when `words` is given (the LF residual stream is hybrid-
+    uint transport-coded in format v4).
 
     Layout contract: ops/pipeline.py encode_lfg_packed (see its module
-    comment), cpp/serializer.cc hyd_hf_add_lfg_packed, and
-    parallel/driver.py change together with this function."""
+    comment), cpp/serializer.cc hyd_hf_add_lfg_packed / hyd_lf_decode,
+    and parallel/driver.py change together with this function."""
     if not bool(aux[0] & 1):
         return None
     G = (buf_h >> 8) * (buf_w >> 8)
     vbh, vbw = buf_h >> 3, buf_w >> 3
     vh, vw = (lfg.height + 7) >> 3, (lfg.width + 7) >> 3
-    tok_total, res_total, lf_w = int(aux[1]), int(aux[2]), int(aux[3])
+    tok_total, res_total, lf_total = int(aux[1]), int(aux[2]), int(aux[3])
     S = 8  # pipeline.AUX_SCALARS
-    hist64 = aux[S:S + 576]      # [9, 64] per-class token histogram
-    o = S + 576
+    hist = aux[S:S + 640]        # [10, 64] per-class transport histogram
+    o = S + 640
     gs = aux[o:o + G].astype(np.int64)
     gr = aux[o + G:o + 2 * G].astype(np.int64)
     gt = aux[o + 2 * G:o + 3 * G].astype(np.int64)
     lf_n = vbh * vbw * 3
-    lf_used = (lf_n * lf_w + 31) >> 5
+    lf_used = (lf_total + 31) >> 5
     tok_used = (tok_total + 31) >> 5
     res_used = (res_total + 31) >> 5
     out = {
-        "hist64": hist64, "gs": gs, "gr": gr,
+        "hist": hist, "gs": gs, "gr": gr,
         "tok_off": np.cumsum(gt) - gt, "res_off": np.cumsum(gr) - gr,
         "need_words": lf_used + tok_used + res_used,
         "lf_res": None, "tok_words": None, "res_words": None,
     }
     if words is not None:
-        lf_res = _unpack_lf(words, lf_n, lf_w).reshape(vbh, vbw, 3)
-        out["lf_res"] = lf_res[:vh, :vw]
+        from .jxl import native
+
+        lf_flat = native.lf_decode(words, lf_lut, lf_n, lf_total)
+        if lf_flat is None:
+            return None
+        out["lf_res"] = lf_flat.reshape(vbh, vbw, 3)[:vh, :vw]
         out["tok_words"] = words[lf_used:lf_used + tok_used + 1]
         out["res_words"] = np.ascontiguousarray(
             words[lf_used + tok_used:])
@@ -312,14 +308,13 @@ def _parse_packed(aux: np.ndarray, words, buf_h: int, buf_w: int, lfg):
 
 
 def packed_need_words(aux: np.ndarray, buf_h: int, buf_w: int) -> int:
-    """Stream word count (past the aux prefix) for a v3 aux payload."""
-    lf_n = (buf_h >> 3) * (buf_w >> 3) * 3
-    lf_used = (lf_n * int(aux[3]) + 31) >> 5
-    return lf_used + ((int(aux[1]) + 31) >> 5) + ((int(aux[2]) + 31) >> 5)
+    """Stream word count (past the aux prefix) for a v4 aux payload."""
+    return (((int(aux[3]) + 31) >> 5) + ((int(aux[1]) + 31) >> 5)
+            + ((int(aux[2]) + 31) >> 5))
 
 
 def packed_verify(aux: np.ndarray, words, buf_h: int, buf_w: int) -> bool:
-    """Check the device-computed wrap-sum checksums of a v2 payload: the
+    """Check the device-computed wrap-sum checksums of a v4 payload: the
     aux tail always, and the three stream sections when `words` (the
     region past the aux prefix) is given.  Guards against transient
     interconnect corruption (the LF section otherwise has no
@@ -330,8 +325,7 @@ def packed_verify(aux: np.ndarray, words, buf_h: int, buf_w: int) -> bool:
     if words is None or not bool(aux[0] & 1):
         return True
     wu = words.view(np.uint32)
-    lf_n = (buf_h >> 3) * (buf_w >> 3) * 3
-    lf_used = (lf_n * int(aux[3]) + 31) >> 5
+    lf_used = (int(aux[3]) + 31) >> 5
     tok_used = (int(aux[1]) + 31) >> 5
     res_used = (int(aux[2]) + 31) >> 5
     if int(np.sum(wu[:lf_used], dtype=np.uint32)) != int(u[5]):
@@ -376,8 +370,7 @@ def fetch_packed_payload(combined, buf_h: int, buf_w: int, stats=None):
             words = np.concatenate([first[A:], tail])
         if stats is not None:
             stats.count("fetched_words", A + max(need + 1, have))
-            lf_n = (buf_h >> 3) * (buf_w >> 3) * 3
-            stats.count("lf_words", (lf_n * int(aux[3]) + 31) >> 5)
+            stats.count("lf_words", (int(aux[3]) + 31) >> 5)
             stats.count("tok_words", (int(aux[1]) + 31) >> 5)
             stats.count("res_words", (int(aux[2]) + 31) >> 5)
     return aux, words
@@ -399,7 +392,7 @@ class _JaxDispatch:
     __slots__ = ("out", "lfg", "preset", "buf_h", "buf_w", "kwargs",
                  "presets_dev", "cm_dev", "px", "_aux", "_words",
                  "_pf_thread", "_pf_ran", "_hist_folded", "tok_lut",
-                 "_codec", "stats", "_wide", "_tag", "_future")
+                 "lf_lut", "_codec", "stats", "_wide", "_tag", "_future")
 
     # per-buffer-shape guess of the stream word count, fed back from the
     # previous LF group so the combined payload usually needs ONE fetch
@@ -465,6 +458,7 @@ class _JaxDispatch:
             self.out = None
             self._codec = None
             self.tok_lut = None
+            self.lf_lut = None
         self._aux = None
         self._words = None
         self._pf_thread = None
@@ -479,11 +473,15 @@ class _JaxDispatch:
         import jax.numpy as jnp
         from .ops.pipeline import encode_lfg_packed
 
+        from .jxl.tokcode import LF_CLASS
+
         lens, codes, lut = self._codec.tables()
         # slice the LUT to this frame's class count so the walker's
-        # class = cluster %% (lut.size/256) matches the device's
-        # class = cluster %% tok_classes exactly
+        # class = cluster %% (lut.size/4096) matches the device's
+        # class = cluster %% tok_classes exactly; the LF residual
+        # stream decodes with the LF_CLASS row of the SAME snapshot
         self.tok_lut = lut[:self.kwargs["tok_classes"]]
+        self.lf_lut = lut[LF_CLASS]
         self.out = encode_lfg_packed(
             self.px, self.lfg.height, self.lfg.width, self.presets_dev,
             self.cm_dev, jnp.asarray(lens), jnp.asarray(codes),
@@ -544,7 +542,7 @@ class _JaxDispatch:
                 first = _fetch_prefix(self.out["combined"], A)
                 aux0 = np.ascontiguousarray(first[:A]).view(np.int32)
                 if packed_verify(aux0, None, self.buf_h, self.buf_w):
-                    self._codec.update(aux0[8:584])
+                    self._codec.update(aux0[8:648])
                     self._hist_folded = True
                     if not self._codec.cold:
                         self._dispatch()
@@ -571,7 +569,7 @@ class _JaxDispatch:
                     if self._codec is not None and not self._hist_folded:
                         # (the cold-start bootstrap already folded this
                         # LF group's histogram in)
-                        self._codec.update(aux[8:584])
+                        self._codec.update(aux[8:648])
                     return
                 if self.stats is not None:
                     self.stats.count("checksum_errors")
@@ -609,9 +607,11 @@ class _JaxDispatch:
                 with stage("fetch_aux"):
                     self.prefetch()
             aux = self._aux
+            parsed = None
             if aux is not None and bool(aux[0] & 1):
                 parsed = _parse_packed(aux, self._words, self.buf_h,
-                                       self.buf_w, lfg)
+                                       self.buf_w, lfg, self.lf_lut)
+            if parsed is not None:
                 ev = (stats.event if stats is not None
                       else (lambda _n: contextlib.nullcontext()))
                 with stage("walk"), ev(f"walk[{self._tag}]"):
@@ -1076,9 +1076,16 @@ class Encoder:
                 for i in chunk:
                     payloads[i] = None   # corrupt transfer: per-tile path
                 continue
-            self._codec.update(aux[8:584])
+            from .jxl.tokcode import LF_CLASS
+
+            self._codec.update(aux[8:648])
             parsed = _parse_packed(aux, words, K_stack * th, tw,
-                                   stacked_geom)
+                                   stacked_geom, lut[LF_CLASS])
+            if parsed is None:
+                self.stats.count("checksum_errors")
+                for i in chunk:
+                    payloads[i] = None   # corrupt LF stream: per-tile path
+                continue
             self.stats.count("lfg_packed")
             for j, i in enumerate(chunk):
                 g0 = j * gpt
@@ -1091,7 +1098,9 @@ class Encoder:
                     "res_off": parsed["res_off"][g0:g1],
                     "tok_words": parsed["tok_words"],
                     "res_words": parsed["res_words"],
-                    "lut": lut,
+                    # HF walker rows only: the class modulus is derived
+                    # from the LUT row count and must equal tok_classes
+                    "lut": lut[:kwargs["tok_classes"]],
                 }
 
         # serialize all tiles in entry order

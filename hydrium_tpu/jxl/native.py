@@ -98,6 +98,10 @@ def _load():
         lib.hyd_hf_frequencies.restype = ctypes.c_long
         lib.hyd_hf_frequencies.argtypes = [P, ctypes.c_long, ctypes.c_void_p,
                                            ctypes.c_long]
+        lib.hyd_lf_decode.restype = ctypes.c_long
+        lib.hyd_lf_decode.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_long, ctypes.c_long,
+                                      ctypes.c_void_p]
         lib.hyd_png_unfilter.restype = ctypes.c_int
         lib.hyd_png_unfilter.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                          ctypes.c_long, ctypes.c_int,
@@ -110,6 +114,26 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def lf_decode(words: np.ndarray, lf_lut: np.ndarray, lf_n: int,
+              total_bits: int) -> Optional[np.ndarray]:
+    """Decode the format-v4 LF residual stream (bit-contiguous hybrid-
+    uint fields under the class-9 transport code) into lf_n pack_signed
+    residuals.  words must extend at least one word past the stream
+    (fetches carry +1 slack).  lf_lut: u16[4096] decode LUT
+    (jxl/tokcode.py row LF_CLASS).  None when the decoded stream does
+    not land exactly on total_bits (corrupt payload)."""
+    lib = _load()
+    w = np.ascontiguousarray(words, np.uint32)
+    lut = np.ascontiguousarray(lf_lut, np.uint16)
+    assert lut.size == 4096
+    out = np.empty(lf_n, np.uint32)
+    end = lib.hyd_lf_decode(w.ctypes.data, lut.ctypes.data, lf_n,
+                            total_bits, out.ctypes.data)
+    if end != total_bits:
+        return None
+    return out
 
 
 class NativeBitWriter:
@@ -292,15 +316,15 @@ class NativeHF:
                        tok_bit_offs: np.ndarray, res_bit_offs: np.ndarray,
                        sym_counts: np.ndarray, n_threads: int = 0) -> None:
         """Walk every group of one LF group in parallel (payload format
-        v2; threads write disjoint symbol ranges sized by the device's
+        v3/v4; threads write disjoint symbol ranges sized by the device's
         per-group counts).  grid = (gcy, gcx) buffer group grid; extent
-        = (vh, vw) true varblock extent.  tok_lut: u16[n_classes, 256]
+        = (vh, vw) true varblock extent.  tok_lut: u16[n_classes, 4096]
         per-cluster transport-Huffman decode LUTs (jxl/tokcode.py);
         class = cluster % n_classes."""
         t = np.ascontiguousarray(tok_words, np.uint32)
         r = np.ascontiguousarray(res_words, np.uint32)
         lut = np.ascontiguousarray(tok_lut, np.uint16)
-        tok_classes = lut.size // 256
+        tok_classes = lut.size // 4096
         cm = np.ascontiguousarray(cluster_map, np.uint8)
         to = np.ascontiguousarray(tok_bit_offs, np.int64)
         ro = np.ascontiguousarray(res_bit_offs, np.int64)

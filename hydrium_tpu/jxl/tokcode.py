@@ -16,11 +16,16 @@ gap between a single global Huffman table and the context-modeled ANS
 size (~30% on noisy 4K content).
 
 The host picks code lengths from the previous LF group's per-class token
-histogram (shipped back in the aux payload), sends the 9x64 codeword
+histogram (shipped back in the aux payload), sends the 10x64 codeword
 table to the device with the next dispatch, and the C++ walker decodes
-with one 256-entry LUT per class.  Decodability is unconditional --
+with one 4096-entry LUT per class.  Decodability is unconditional --
 every symbol always has a code in every class (add-one smoothing), so a
 distribution mismatch only costs compression, never correctness.
+
+Table row 9 (LF_CLASS) codes the LF-residual hybrid tokens: format v4
+ships LF residuals hybrid-uint-coded under their own transport class
+instead of fixed-width fields (~45% smaller on real content); the HF
+walker never sees that row (its LUT slice stays [:tok_classes]).
 
 Reuses the depth-limited Huffman + canonical bit-reversed code
 construction already validated byte-exactly against the reference
@@ -36,13 +41,16 @@ from .entropy import build_prefix_table
 
 ALPHABET = 64
 NCLASS = 9            # within-preset clusters (tables.hf_cluster_map)
-# 8-bit cap: lets the device pack FOUR tokens per scatter update (4*8 <=
-# 32 bits; the bitpack scatter is the pipeline's dominant device cost)
-# and shrinks each decode LUT to 256 entries.  Optimal package-merge
-# lengths at depth 8 still land within ~0.1 b/sym of unlimited Huffman
-# on real token distributions.
-MAX_LEN = 8
-LUT_BITS = 8
+LF_CLASS = 9          # transport class for LF-residual hybrid tokens
+NROWS = 10            # 9 HF classes + the LF class
+# 12-bit cap (format v4; was 8): token quads then need two u32 lanes in
+# the MXU one-hot pack (4*12 <= 64 bits) and each decode LUT grows to
+# 4096 entries, but depth-12 package-merge sits within ~0.07 b/sym of
+# entropy on real token distributions where depth 8 left ~0.3 b/sym on
+# the wire (~0.6 MB per noisy 4K) -- and the wire, not the MXU, is this
+# rig's bottleneck.
+MAX_LEN = 12
+LUT_BITS = 12
 
 
 def package_merge_lengths(freqs, max_len: int):
@@ -74,22 +82,27 @@ def package_merge_lengths(freqs, max_len: int):
 
 def _default_prior() -> np.ndarray:
     """Generic skewed-to-zero token prior for the first LF group (real
-    content concentrates mass on small tokens; entropy.c hybridize)."""
+    content concentrates mass on small tokens; entropy.c hybridize).
+    Row LF_CLASS seeds the LF-residual code; LF hybrid tokens spread
+    wider than HF's, so its prior decays more slowly."""
     t = np.arange(ALPHABET, dtype=np.float64)
     f = np.maximum(1, (4000.0 * 0.72 ** t)).astype(np.int64)
-    return np.tile(f, (NCLASS, 1))
+    rows = np.tile(f, (NROWS, 1))
+    rows[LF_CLASS] = np.maximum(1, (4000.0 * 0.85 ** t)).astype(np.int64)
+    return rows
 
 
 def build_tables(freqs: np.ndarray) -> Tuple[np.ndarray, np.ndarray,
                                              np.ndarray]:
-    """freqs[NCLASS, 64] -> (lengths i32[NCLASS*64],
-    codewords u32[NCLASS*64] LSB-first, decode LUTs u16[NCLASS, 256]
-    with entry = symbol | (length << 8)); index = class*64 + token."""
-    freqs = np.asarray(freqs, np.int64).reshape(NCLASS, ALPHABET)
-    lens = np.zeros(NCLASS * ALPHABET, np.int32)
-    codes = np.zeros(NCLASS * ALPHABET, np.uint32)
-    lut = np.zeros((NCLASS, 1 << LUT_BITS), np.uint16)
-    for k in range(NCLASS):
+    """freqs[NROWS, 64] -> (lengths i32[NROWS*64],
+    codewords u32[NROWS*64] LSB-first, decode LUTs u16[NROWS, 4096]
+    with entry = symbol | (length << 8)); index = class*64 + token.
+    Rows 0..8 are the HF classes, row 9 (LF_CLASS) the LF residuals."""
+    freqs = np.asarray(freqs, np.int64).reshape(NROWS, ALPHABET)
+    lens = np.zeros(NROWS * ALPHABET, np.int32)
+    codes = np.zeros(NROWS * ALPHABET, np.uint32)
+    lut = np.zeros((NROWS, 1 << LUT_BITS), np.uint16)
+    for k in range(NROWS):
         smoothed = freqs[k] + 1
         lengths = package_merge_lengths([int(v) for v in smoothed],
                                         MAX_LEN)
@@ -132,7 +145,8 @@ class TokenCodec:
 
             if os.path.exists(path):
                 f = np.load(path)["freqs"]
-                if f.shape == (NCLASS, ALPHABET) and f.sum() > 0:
+                # reject warm state from older formats (e.g. 9-row v3)
+                if f.shape == (NROWS, ALPHABET) and f.sum() > 0:
                     self.freqs = f.astype(np.int64)
                     self._tables = None
                     self.cold = False
@@ -152,10 +166,10 @@ class TokenCodec:
             pass
 
     def update(self, hist: np.ndarray) -> None:
-        """Fold in one LF group's exact [NCLASS, 64] token histogram
-        (aux payload).  Exponential decay keeps the code tracking
-        content changes."""
-        h = np.asarray(hist, np.int64).reshape(NCLASS, ALPHABET)
+        """Fold in one LF group's exact [NROWS, 64] transport-symbol
+        histogram (aux payload; rows 0..8 HF classes, row 9 LF tokens).
+        Exponential decay keeps the code tracking content changes."""
+        h = np.asarray(hist, np.int64).reshape(NROWS, ALPHABET)
         if h.sum() <= 0:
             return
         self.freqs = self.freqs // 2 + h

@@ -404,16 +404,17 @@ def encode_lfg(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
 # parallel/driver.py and the C++ walker (cpp/serializer.cc) -- the four
 # must change together:
 #
-#   aux (fixed A = 8 + 576 + 3*G words):
+#   aux (fixed A = 8 + 640 + 3*G words):
 #     [0]        ok word: bit 0 = payload valid; value 2 = invalid but
 #                retryable with wide_residues=True (a residue chunk
 #                exceeded the fast packing budget -- ~12 b/slot
-#                aggregate or RES_CAP_FAST bits in one field; the wide
-#                executable packs the format's full ~24 b/slot,
-#                30 b/field budget); 0 -> caller falls back unpacked
+#                aggregate or RES_CAP_FAST bits in one field -- or an
+#                LF field exceeded 32 bits; the wide executable packs
+#                the format's full ~24 b/slot, 30 b/field residue and
+#                42 b/field LF budgets); 0 -> caller falls back unpacked
 #     [1]        total token bits
 #     [2]        total residue bits
-#     [3]        LF residual field width W (bits per value, 0..32)
+#     [3]        total LF-residual stream bits (format v4)
 #     [4]        checksum (u32 wrap-sum) of aux[8:A]
 #     [5]        checksum of the LF word section
 #     [6]        checksum of the token word section
@@ -421,15 +422,20 @@ def encode_lfg(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
 #                (the dev rig's remote-TPU tunnel has shown transient
 #                 data corruption; the host verifies, refetches once,
 #                 then falls back to the unpacked path)
-#     [8:584]    per-class token histogram (9 x 64 bins; feeds the NEXT
-#                dispatch's transport code, jxl/tokcode.py)
+#     [8:648]    per-class transport-symbol histogram (10 x 64 bins:
+#                rows 0..8 = HF classes, row 9 = LF hybrid tokens;
+#                feeds the NEXT dispatch's transport code,
+#                jxl/tokcode.py)
 #     [..+G]     per-group symbol counts
 #     [..+G]     per-group residue bit counts
 #     [..+G]     per-group token bit counts
 #   then, at dynamic word offsets:
-#     LF residuals, pack_signed at fixed width W over the full buffer
-#     varblock grid (bit-contiguous); Huffman-coded tokens (transport
-#     code; <= 8 bits/token); raw residue bits.
+#     LF residuals (format v4): per value one field = transport Huffman
+#     code of the hybrid-uint token (class 9) followed by the raw
+#     residue bits, bit-contiguous over the full buffer varblock grid
+#     (decoded host-side by cpp/serializer.cc hyd_lf_decode);
+#     Huffman-coded HF tokens (transport code; <= 12 bits/token); raw
+#     residue bits.
 #
 # Tokens are transport-Huffman-coded with host-supplied per-cluster
 # codes (9 classes, selected by the same within-preset context
@@ -643,11 +649,12 @@ def _bitpack_mxu(lanes, nbits, num_words: int, ch: int, max_field_bits: int):
 
 
 # format-v3 chunk geometry: slots per chunk and the per-chunk one-hot
-# output width (words).  TOK_OW covers the worst case (8-bit transport
-# codes: 8*4096 bits = 1024 words + carry slack), so token chunks can
+# output width (words).  TOK_OW covers the worst case (12-bit transport
+# codes: 12*4096 bits = 1536 words + carry slack), so token chunks can
 # never overflow; residue chunks are budgeted at 12 (fast) / 24 (wide
 # retry) bits per slot on average.
-TOK_CHUNK, TOK_OW = 4096, 1040
+TOK_CHUNK, TOK_OW = 4096, 1552
+TOK_MAX_LEN = 12   # jxl/tokcode.py MAX_LEN; quads pack in 2 u32 lanes
 RES_CHUNK, RES_OW_FAST, RES_OW_WIDE = 2048, 784, 1552
 # Per-field residue width caps: the fast executable packs quads of
 # <=15-bit fields in 2 u32 lanes (any wider field -> ok=2, retry wide;
@@ -869,14 +876,23 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
                   ).astype(jnp.bfloat16)                      # [M, 64]
         oh_cls = (cls[:, None] == jnp.arange(9, dtype=jnp.int32)[None, :]
                   ).astype(jnp.bfloat16)                      # [M, 9]
-        # TAB[t, 0:9] = codeword, TAB[t, 9:18] = length, per class
-        tab_code = tok_code.reshape(9, 64).T.astype(jnp.bfloat16)
-        tab_len = tok_len.reshape(9, 64).T.astype(jnp.bfloat16)
-        R = jnp.dot(oh_tok, jnp.concatenate([tab_code, tab_len], axis=1),
-                    preferred_element_type=jnp.float32)       # [M, 18]
-        code_f = jnp.sum(R[:, :9] * oh_cls.astype(jnp.float32), axis=1)
-        len_f = jnp.sum(R[:, 9:] * oh_cls.astype(jnp.float32), axis=1)
-        t_flat = jnp.where(mask_i32 > 0, code_f.astype(jnp.uint32), 0)
+        # TAB[t, 0:9] = codeword low 6 bits, [9:18] = codeword high
+        # bits, [18:27] = length, per class.  Codewords are <= 12 bits,
+        # beyond bf16's exact-integer range (256), so the lookup carries
+        # them as two <=6-bit halves (exact in bf16).
+        codes9 = tok_code.reshape(-1, 64)[:9]
+        tab_lo = (codes9 & 63).T.astype(jnp.bfloat16)
+        tab_hi = (codes9 >> 6).T.astype(jnp.bfloat16)
+        tab_len = tok_len.reshape(-1, 64)[:9].T.astype(jnp.bfloat16)
+        R = jnp.dot(oh_tok, jnp.concatenate([tab_lo, tab_hi, tab_len],
+                                            axis=1),
+                    preferred_element_type=jnp.float32)       # [M, 27]
+        oh_f32 = oh_cls.astype(jnp.float32)
+        lo_f = jnp.sum(R[:, :9] * oh_f32, axis=1)
+        hi_f = jnp.sum(R[:, 9:18] * oh_f32, axis=1)
+        len_f = jnp.sum(R[:, 18:] * oh_f32, axis=1)
+        code_u = lo_f.astype(jnp.uint32) | (hi_f.astype(jnp.uint32) << 6)
+        t_flat = jnp.where(mask_i32 > 0, code_u, 0)
         t_bits = len_f.astype(jnp.int32) * mask_i32
         # exact per-class token histogram (of *clamped* indices; exact
         # whenever ok -- max hybrid-uint token for 32-bit values is 71,
@@ -905,12 +921,12 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
     res_ow = RES_OW_WIDE if wide_residues else RES_OW_FAST
     res_cap = RES_CAP_WIDE if wide_residues else RES_CAP_FAST
     res_lanes = RES_LANES_WIDE if wide_residues else RES_LANES_FAST
-    tok_cap_words = (M // TOK_CHUNK) * 1024
+    tok_cap_words = (M // TOK_CHUNK) * ((TOK_MAX_LEN * TOK_CHUNK) >> 5)
     res_cap_words = (M // RES_CHUNK) * (res_ow - res_lanes)
     use_mxu = jax.default_backend() == "tpu"
     tok_words, tok_nw, _tok_cb = _bitpack_v3(
         t_flat, t_bits, TOK_CHUNK, TOK_OW, tok_cap_words, use_mxu,
-        max_field_bits=8)
+        max_field_bits=TOK_MAX_LEN)
     res_words, res_nw, res_cb = _bitpack_v3(
         r_flat, r_bits, RES_CHUNK, res_ow, res_cap_words, use_mxu,
         max_field_bits=res_cap)
@@ -921,15 +937,6 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
     # flag -- format semantics -- never depends on the compute path
     res_fit = jnp.all(r_bits <= res_cap)
     res_okc = jnp.all(res_cb <= (res_ow - res_lanes) * 32) & res_fit
-    ok_full = tok_ok & res_okc
-    if wide_residues:
-        retryable = jnp.bool_(False)
-    else:
-        retryable = (tok_ok & ~res_okc
-                     & jnp.all(res_cb <= (RES_OW_WIDE - RES_LANES_WIDE)
-                               * 32))
-    ok_word = jnp.where(ok_full, jnp.int32(1),
-                        jnp.where(retryable, jnp.int32(2), jnp.int32(0)))
 
     per_group_syms = valid_len.reshape(G, -1).sum(axis=1).astype(jnp.int32)
     # per-group PADDED totals (multiples of 32) so host offsets stay
@@ -937,36 +944,89 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
     per_group_rbits = 32 * res_nw.reshape(G, -1).sum(axis=1).astype(jnp.int32)
     per_group_tbits = 32 * tok_nw.reshape(G, -1).sum(axis=1).astype(jnp.int32)
 
-    # LF residuals at a dynamic fixed width W = bits of the largest
-    # pack_signed residual; replaces shipping raw i16 LF values (v1) and
-    # removes the LF-overflow fallback cause entirely.
+    # LF residuals (format v4): hybrid-uint tokens under transport class
+    # 9 + raw residue bits, one contiguous field per value (code first).
+    # ~45% smaller than the former dynamic fixed-width fields on real
+    # content; decoded host-side by cpp/serializer.cc hyd_lf_decode.
     lf_res = out["lf_res"].reshape(-1).astype(jnp.uint32)
-    lf_max = jnp.max(lf_res)
-    lf_w = jnp.where(lf_max == 0, 0,
-                     32 - jax.lax.clz(lf_max.astype(jnp.int32))).astype(
-        jnp.int32)
-    # clz of values >= 2^31 would go negative through int32; residuals
-    # are bounded well below that (LF shifts * unit-range XYB), but clamp
-    # for safety
-    lf_w = jnp.clip(lf_w, 0, 32)
     lf_n = lf_res.shape[0]
-    lf_cap_words = lf_n              # 32 bits/value worst case
-    lf_nbits = jnp.full((lf_n,), 1, jnp.int32) * lf_w
+    lf_tok, lf_residue, lf_rbits8 = hybridize(lf_res)
+    lf_rbits = lf_rbits8.astype(jnp.int32)
+    lf_tok_ok = jnp.all(lf_tok < 64)
+    lf_t = jnp.minimum(lf_tok, 63).astype(jnp.int32)
     if jax.default_backend() == "tpu":
-        lf_words, lf_total, _ = _bitpack_mxu(
-            (lf_res,), lf_nbits, lf_cap_words, ch=2048, max_field_bits=32)
+        # one-hot code lookup (64-wide; codewords split into 6-bit
+        # halves for bf16 exactness) + the LF token histogram
+        oh_lf = (lf_t[:, None] == jnp.arange(64, dtype=jnp.int32)[None, :]
+                 ).astype(jnp.bfloat16)                       # [lf_n, 64]
+        lf_row_code = tok_code.reshape(-1, 64)[9]
+        lf_row_len = tok_len.reshape(-1, 64)[9]
+        tab = jnp.stack([(lf_row_code & 63).astype(jnp.bfloat16),
+                         (lf_row_code >> 6).astype(jnp.bfloat16),
+                         lf_row_len.astype(jnp.bfloat16)], axis=1)
+        Rlf = jnp.dot(oh_lf, tab,
+                      preferred_element_type=jnp.float32)     # [lf_n, 3]
+        lf_code = (Rlf[:, 0].astype(jnp.uint32)
+                   | (Rlf[:, 1].astype(jnp.uint32) << 6))
+        lf_len = Rlf[:, 2].astype(jnp.int32)
+        hist_lf = jnp.sum(oh_lf, axis=0,
+                          dtype=jnp.float32).astype(jnp.int32)
     else:
-        lf_words, lf_total = _bitpack(lf_res, lf_nbits, lf_cap_words)
+        lf_code = tok_code[9 * 64 + lf_t].astype(jnp.uint32)
+        lf_len = tok_len[9 * 64 + lf_t].astype(jnp.int32)
+        hist_lf = jnp.zeros((64,), jnp.int32).at[lf_t].add(1)
+    lf_nbits = lf_len + lf_rbits
+    lf_lenu = lf_len.astype(jnp.uint32)
+    lf_lo = lf_code | (lf_residue << lf_lenu)
+    lf_fit_fast = jnp.all(lf_nbits <= 32)
+    lf_fit_wide = jnp.all(lf_rbits <= 30)    # len <= 12 -> field <= 42
+    lf_cap_words = lf_n + lf_n // 2          # 42 bits/value worst case
+    if jax.default_backend() == "tpu":
+        if wide_residues:
+            lf_hi = jnp.where(lf_lenu > 0,
+                              lf_residue >> (jnp.uint32(32) - lf_lenu), 0)
+            lf_words, lf_total, _ = _bitpack_mxu(
+                (lf_lo, lf_hi), lf_nbits, lf_cap_words, ch=1024,
+                max_field_bits=42)
+        else:
+            # fast executable: single-lane fields (<= 32 bits); denser
+            # LF content retries wide via ok=2
+            lf_words, lf_total, _ = _bitpack_mxu(
+                (lf_lo,), jnp.where(lf_nbits <= 32, lf_nbits, 0),
+                lf_cap_words, ch=2048, max_field_bits=32)
+    else:
+        if wide_residues:
+            lf_hi = jnp.where(lf_lenu > 0,
+                              lf_residue >> (jnp.uint32(32) - lf_lenu), 0)
+            lf_words, lf_total = _bitpack64(lf_lo, lf_hi, lf_nbits,
+                                            lf_cap_words)
+        else:
+            lf_words, lf_total = _bitpack(
+                lf_lo, jnp.where(lf_nbits <= 32, lf_nbits, 0),
+                lf_cap_words)
 
-    tail = jnp.concatenate([hist64, per_group_syms, per_group_rbits,
-                            per_group_tbits])
+    lf_ok = lf_tok_ok & (lf_fit_wide if wide_residues else lf_fit_fast)
+    ok_full = tok_ok & res_okc & lf_ok
+    if wide_residues:
+        retryable = jnp.bool_(False)
+    else:
+        retryable = (tok_ok & lf_tok_ok & lf_fit_wide
+                     & jnp.all(res_cb <= (RES_OW_WIDE - RES_LANES_WIDE)
+                               * 32)
+                     & ~(res_okc & lf_fit_fast))
+    ok_word = jnp.where(ok_full, jnp.int32(1),
+                        jnp.where(retryable, jnp.int32(2), jnp.int32(0)))
+
+    tail = jnp.concatenate([hist64, hist_lf, per_group_syms,
+                            per_group_rbits, per_group_tbits])
     _i32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
     aux_ck = _i32(jnp.sum(tail.astype(jnp.uint32)))
     lf_ck = _i32(jnp.sum(lf_words))
     tok_ck = _i32(jnp.sum(tok_words))
     res_ck = _i32(jnp.sum(res_words))
     aux = jnp.concatenate([
-        jnp.stack([ok_word, tok_total, res_total, lf_w,
+        jnp.stack([ok_word, tok_total, res_total,
+                   lf_total.astype(jnp.int32),
                    aux_ck, lf_ck, tok_ck, res_ck]),
         tail,
     ])
@@ -993,22 +1053,22 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
     return {"combined": combined}
 
 
-# aux layout constants (format v3); see the module comment above
+# aux layout constants (format v4); see the module comment above
 AUX_SCALARS = 8
-AUX_HIST = slice(8, 8 + 9 * 64)
+AUX_HIST_ROWS = 10      # 9 HF classes + 1 LF class
+AUX_HIST = slice(8, 8 + AUX_HIST_ROWS * 64)
 
 
 def packed_aux_len(buf_h: int, buf_w: int) -> int:
     """Length (in 32-bit words) of the fixed aux prefix of the combined
-    packed payload for a given buffer shape (format v3)."""
+    packed payload for a given buffer shape (format v4)."""
     G = (buf_h >> 8) * (buf_w >> 8)
-    return AUX_SCALARS + 9 * 64 + 3 * G
+    return AUX_SCALARS + AUX_HIST_ROWS * 64 + 3 * G
 
 
-def packed_lf_len(buf_h: int, buf_w: int, lf_w: int) -> int:
-    """Word count of the LF residual section for field width lf_w."""
-    lf_n = (buf_h >> 3) * (buf_w >> 3) * 3
-    return (lf_n * lf_w + 31) >> 5
+def packed_lf_len(aux3_lf_bits: int) -> int:
+    """Word count of the LF residual section (aux[3] = total bits)."""
+    return (int(aux3_lf_bits) + 31) >> 5
 
 
 # NOTE: an earlier vmapped batch variant of the packed pipeline

@@ -110,11 +110,12 @@ def encode_image_sharded(image: np.ndarray, mesh=None,
     num_clusters = int(hf.cluster_map.max()) + 1
     cm_dev = jnp.asarray(hf.cluster_map)
 
-    from ..jxl.tokcode import TokenCodec
+    from ..jxl.tokcode import LF_CLASS, TokenCodec
 
     codec = TokenCodec()
-    lens, codes, tok_lut = codec.tables()
-    tok_lut = tok_lut[:num_clusters // geo.num_presets]   # match device classes
+    lens, codes, full_lut = codec.tables()
+    tok_lut = full_lut[:num_clusters // geo.num_presets]  # match device classes
+    lf_lut = full_lut[LF_CLASS]       # LF residual stream decode row
     lens_dev, codes_dev = jnp.asarray(lens), jnp.asarray(codes)
 
     @partial(jax.shard_map, mesh=mesh,
@@ -187,7 +188,9 @@ def encode_image_sharded(image: np.ndarray, mesh=None,
                 if words is not None and not packed_verify(aux, words,
                                                            2048, 2048):
                     words = None
-            if words is None or not bool(aux[0] & 1):
+            parsed = (None if words is None
+                      else _parse_packed(aux, words, 2048, 2048, g, lf_lut))
+            if parsed is None:
                 # transport overflow (token beyond the 64-symbol
                 # alphabet, or aux[0]==2: a residue chunk past the fast
                 # packing budget -- this demo driver recomputes unpacked
@@ -200,7 +203,6 @@ def encode_image_sharded(image: np.ndarray, mesh=None,
                                        num_clusters // geo.num_presets)
                 hf.finish_lfg(preset)
                 continue
-            parsed = _parse_packed(aux, words, 2048, 2048, g)
             bw = new_bitwriter()
             write_lf_group(bw, None, parsed["lf_res"])
             lf_spool.add_raw(bw.export_raw())

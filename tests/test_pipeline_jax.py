@@ -179,10 +179,11 @@ def test_packed_walk_class_count_contract():
     assert per == 3
 
     codec = TokenCodec()
-    h = np.zeros((9, 64), np.int64)
+    h = np.zeros((10, 64), np.int64)   # 9 HF classes + the LF class
     h[0, 0] = 100000
     h[1, 5] = 100000
     h[2, 17] = 50000
+    h[9, 1] = 80000
     codec.update(h)          # class tables now differ strongly
     lens, codes, lut = codec.tables()
 
@@ -204,7 +205,10 @@ def test_packed_walk_class_count_contract():
     assert bool(aux[0]) and packed_verify(aux, combined[A:], 256, 256)
     geom = LFGroupGeometry(x=0, y=0, width=256, height=256,
                            tile_count_x=1, tile_count_y=1)
-    parsed = _parse_packed(aux, combined[A:], 256, 256, geom)
+    from hydrium_tpu.jxl.tokcode import LF_CLASS
+
+    parsed = _parse_packed(aux, combined[A:], 256, 256, geom, lut[LF_CLASS])
+    assert parsed is not None
 
     hf_a = HFStream(num_presets)
     hf_a.add_lfg_packed(parsed["tok_words"], parsed["res_words"],
