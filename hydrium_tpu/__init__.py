@@ -17,7 +17,8 @@ Reference parity documented per-module with hydrium file:line citations.
 
 from .version import __version__
 from .config import ImageMetadata, SampleFormat, HYD_UINT8, HYD_UINT16, HYD_FLOAT32
-from .encoder import Encoder, encode_image
+from .encoder import (BufferedEncoder, Encoder, NEED_MORE_OUTPUT, OK,
+                      encode_image)
 
 __all__ = [
     "__version__",
@@ -27,5 +28,8 @@ __all__ = [
     "HYD_UINT16",
     "HYD_FLOAT32",
     "Encoder",
+    "BufferedEncoder",
+    "OK",
+    "NEED_MORE_OUTPUT",
     "encode_image",
 ]

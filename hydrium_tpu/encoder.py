@@ -1305,6 +1305,130 @@ class Encoder:
             _save_warm_state()
 
 
+# BufferedEncoder.send_tile / pump status values (reference HYD_OK /
+# HYD_NEED_MORE_OUTPUT, libhydrium.h)
+OK = "ok"
+NEED_MORE_OUTPUT = "need-more-output"
+
+
+class BufferedEncoder:
+    """Push-model (caller-owned output buffer) adapter over `Encoder`.
+
+    Reference parity for the buffer-swap output contract:
+    hyd_provide_output_buffer / HYD_NEED_MORE_OUTPUT /
+    hyd_release_output_buffer (libhydrium.c:114-166, bitwriter.c:42-73).
+    The core Encoder is pull-model (`iter_output`; STATUS deviation 4);
+    this adapter restores the reference surface: output lands only in
+    buffers the CALLER owns, `send_tile` suspends with NEED_MORE_OUTPUT
+    when one fills mid-drain, and encoding resumes after
+    release_output_buffer + provide_output_buffer + pump -- the
+    reference's swap-and-recall loop.  Host memory stays bounded by the
+    spool exactly as in the pull model.
+
+        buf = bytearray(1 << 20)
+        be = BufferedEncoder(Encoder(meta))
+        be.provide_output_buffer(buf)
+        st = be.send_tile(px, 0, 0)
+        while st == NEED_MORE_OUTPUT:
+            n = be.release_output_buffer()
+            sink.write(buf[:n])
+            be.provide_output_buffer(buf)
+            st = be.pump()
+    """
+
+    def __init__(self, encoder: Encoder) -> None:
+        from collections import deque
+
+        self.encoder = encoder
+        self._buf: Optional[memoryview] = None
+        self._pos = 0
+        self._chunks = deque()      # (bytes, consumed-offset) backlog
+        self._emit = None           # live iter_output generator
+
+    def provide_output_buffer(self, buf) -> None:
+        """Hand the encoder a writable caller-owned byte buffer
+        (bytearray / writable memoryview; libhydrium.c:114-136)."""
+        if self._buf is not None:
+            raise RuntimeError("release the current output buffer first")
+        view = memoryview(buf).cast("B")
+        if view.readonly:
+            raise ValueError("output buffer must be writable")
+        if len(view) == 0:
+            raise ValueError("output buffer must be non-empty")
+        self._buf = view
+        self._pos = 0
+
+    def release_output_buffer(self) -> int:
+        """Reclaim the current buffer; returns the bytes written into it
+        (libhydrium.c:138-151).  The encoder holds no reference to the
+        buffer afterwards."""
+        if self._buf is None:
+            raise RuntimeError("no output buffer provided")
+        n = self._pos
+        self._buf.release()
+        self._buf = None
+        self._pos = 0
+        return n
+
+    def send_tile(self, pixels, tile_x: int = 0, tile_y: int = 0,
+                  is_last: int = -1,
+                  sample_fmt: SampleFormat = SampleFormat.UINT8) -> str:
+        """Encode one tile, draining its output into the provided
+        buffer.  Returns NEED_MORE_OUTPUT when the buffer filled first:
+        release/swap buffers and `pump()` until OK before sending the
+        next tile.  If called while output is still pending it resumes
+        the drain without re-encoding (the reference tolerates the same
+        re-call after a swap)."""
+        if self._drain() == NEED_MORE_OUTPUT:
+            return NEED_MORE_OUTPUT
+        self.encoder.send_tile(pixels, tile_x, tile_y, is_last, sample_fmt)
+        return self._drain()
+
+    def pump(self) -> str:
+        """Continue copying pending output after a buffer swap; OK means
+        everything produced so far has been delivered."""
+        return self._drain()
+
+    @property
+    def finished(self) -> bool:
+        """True once the last tile was encoded AND fully delivered."""
+        return (self.encoder.finished and not self._chunks
+                and self._emit is None and not self.encoder._out
+                and self.encoder._emit_iter is None)
+
+    def _drain(self) -> str:
+        if self._buf is None:
+            raise RuntimeError("no output buffer provided")
+        while True:
+            if not self._chunks:
+                nxt = self._next_chunk()
+                if nxt is None:
+                    return OK
+                self._chunks.append((nxt, 0))
+            chunk, off = self._chunks[0]
+            room = len(self._buf) - self._pos
+            take = min(room, len(chunk) - off)
+            self._buf[self._pos:self._pos + take] = chunk[off:off + take]
+            self._pos += take
+            if off + take < len(chunk):
+                self._chunks[0] = (chunk, off + take)
+                return NEED_MORE_OUTPUT
+            self._chunks.popleft()
+
+    def _next_chunk(self) -> Optional[bytes]:
+        # A paused iter_output generator only exists while this adapter
+        # reports NEED_MORE_OUTPUT (send_tile refuses to encode then),
+        # so the encoder never adds output behind a live generator's
+        # back; when one ends, the next call starts a fresh one.
+        if self._emit is None:
+            self._emit = self.encoder.iter_output()
+        for c in self._emit:
+            if c:
+                return c
+        self._emit = None
+        return None
+
+
 def encode_image(image: np.ndarray, tile_size_shift: int = -1,
                  linear_light: bool = False,
                  sample_fmt: Optional[SampleFormat] = None,

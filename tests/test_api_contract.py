@@ -153,3 +153,46 @@ def test_bucket_words_bounds():
         assert b <= cap
         if n <= cap and n > 32:
             assert b < n * 1.063, (n, b)
+
+
+def test_buffered_encoder_push_model():
+    """BufferedEncoder restores the reference's caller-owned buffer-swap
+    output contract (hyd_provide_output_buffer / HYD_NEED_MORE_OUTPUT /
+    hyd_release_output_buffer, libhydrium.c:114-166): same bytes as the
+    pull model, delivered only through small caller buffers, suspending
+    whenever one fills."""
+    from hydrium_tpu.encoder import BufferedEncoder, NEED_MORE_OUTPUT, OK
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 255, (300, 520, 3), dtype=np.uint8)
+    want = encode_image(img, tile_size_shift=-1)
+
+    be = BufferedEncoder(Encoder(ImageMetadata(width=520, height=300)))
+    buf = bytearray(4096)       # far smaller than the ~150 KB output
+    got = bytearray()
+    swaps = 0
+    be.provide_output_buffer(buf)
+    st = be.send_tile(img, 0, 0)
+    while st == NEED_MORE_OUTPUT:
+        swaps += 1
+        n = be.release_output_buffer()
+        assert n == len(buf)    # suspended exactly on a full buffer
+        got.extend(buf[:n])
+        be.provide_output_buffer(buf)
+        st = be.pump()
+    assert st == OK
+    got.extend(buf[:be.release_output_buffer()])
+    assert swaps >= 2
+    assert be.finished
+    assert bytes(got) == want
+
+    # contract errors: double-provide, pump without a buffer
+    be2 = BufferedEncoder(Encoder(ImageMetadata(width=64, height=64)))
+    be2.provide_output_buffer(bytearray(16))
+    with pytest.raises(RuntimeError):
+        be2.provide_output_buffer(bytearray(16))
+    be2.release_output_buffer()
+    with pytest.raises(RuntimeError):
+        be2.pump()
+    with pytest.raises(ValueError):
+        be2.provide_output_buffer(bytearray(0))
