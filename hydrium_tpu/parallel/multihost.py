@@ -73,6 +73,80 @@ def gather_bytes_to_host0(payload: bytes) -> Optional[list]:
             for i in range(n)]
 
 
+def _pack_sections(lf_secs, hf_secs, freqs: dict) -> bytes:
+    """Length-prefixed binary framing for the cross-host section gather
+    (no pickle: the one payload that crosses machine boundaries must not
+    be a code-execution vector, even between trusted peers).
+
+    Layout (little-endian):
+      u32 magic 'HSEC', u32 n_lf, u32 n_hf, u32 n_freq
+      n_lf  x  (i64 lfid, u32 tail_val, u32 tail_bits, u64 len, bytes)
+      n_hf  x  (i64 lfid, i64 j, u32 tail_val, u32 tail_bits,
+                u64 len, bytes)
+      n_freq x (i64 cluster, u64 count, count x u32)"""
+    import struct
+
+    parts = [struct.pack("<4sIII", b"HSEC", len(lf_secs), len(hf_secs),
+                         len(freqs))]
+    for lfid, (data, tv, tb) in lf_secs:
+        parts.append(struct.pack("<qIIQ", lfid, tv, tb, len(data)))
+        parts.append(data)
+    for (lfid, j), (data, tv, tb) in hf_secs:
+        parts.append(struct.pack("<qqIIQ", lfid, j, tv, tb, len(data)))
+        parts.append(data)
+    for c, f in freqs.items():
+        a = np.ascontiguousarray(f, np.uint32)
+        parts.append(struct.pack("<qQ", c, a.size))
+        parts.append(a.tobytes())
+    return b"".join(parts)
+
+
+def _unpack_sections(blob: bytes):
+    """Inverse of _pack_sections -> (lf dict, hf dict, freqs dict);
+    raises ValueError on malformed framing (lengths validated against
+    the buffer before every slice)."""
+    import struct
+
+    mv = memoryview(blob)
+    pos = 0
+
+    def take(fmt):
+        nonlocal pos
+        size = struct.calcsize(fmt)
+        if pos + size > len(mv):
+            raise ValueError("truncated section payload")
+        vals = struct.unpack_from(fmt, mv, pos)
+        pos += size
+        return vals
+
+    def take_bytes(n):
+        nonlocal pos
+        if n > len(mv) - pos:
+            raise ValueError("section length past payload end")
+        b = bytes(mv[pos:pos + n])
+        pos += n
+        return b
+
+    magic, n_lf, n_hf, n_freq = take("<4sIII")
+    if magic != b"HSEC":
+        raise ValueError("bad section payload magic")
+    lf = {}
+    for _ in range(n_lf):
+        lfid, tv, tb, ln = take("<qIIQ")
+        lf[lfid] = (take_bytes(ln), tv, tb)
+    hf = {}
+    for _ in range(n_hf):
+        lfid, j, tv, tb, ln = take("<qqIIQ")
+        hf[(lfid, j)] = (take_bytes(ln), tv, tb)
+    freqs = {}
+    for _ in range(n_freq):
+        c, count = take("<qQ")
+        freqs[c] = np.frombuffer(take_bytes(count * 4), np.uint32)
+    if pos != len(mv):
+        raise ValueError("trailing bytes in section payload")
+    return lf, hf, freqs
+
+
 def _assign_presets(num_presets: int, n_proc: int, pid: int) -> range:
     """Contiguous preset partition: every histogram preset (and hence
     every LF group of that preset) lives wholly on one process, so HF
@@ -109,8 +183,6 @@ def encode_image_multihost(image: np.ndarray, *, linear_light: bool = False,
     tests/test_multihost.py with a real 2-process jax.distributed run).
     The reference analog is the one-frame out-of-order section
     accumulation this generalizes (encoder.c:241-268, internal.h:56-67)."""
-    import pickle
-
     import jax
 
     from ..config import ImageMetadata
@@ -179,8 +251,7 @@ def encode_image_multihost(image: np.ndarray, *, linear_light: bool = False,
                 for c in range((hf._num_clusters // num_presets) * p,
                                (hf._num_clusters // num_presets) * (p + 1))}
 
-    payload = pickle.dumps({"lf": lf_secs, "hf": hf_secs,
-                            "freqs": my_freqs})
+    payload = _pack_sections(lf_secs, hf_secs, my_freqs)
     gathered = gather_bytes_to_host0(payload)
     if gathered is None:
         return None
@@ -190,10 +261,10 @@ def encode_image_multihost(image: np.ndarray, *, linear_light: bool = False,
     all_hf: dict = {}
     freqs = [None] * hf._num_clusters
     for blob in gathered:
-        part = pickle.loads(blob)
-        all_lf.update(dict(part["lf"]))
-        all_hf.update(dict(part["hf"]))
-        for c, f in part["freqs"].items():
+        part_lf, part_hf, part_freqs = _unpack_sections(blob)
+        all_lf.update(part_lf)
+        all_hf.update(part_hf)
+        for c, f in part_freqs.items():
             freqs[c] = f
     assert len(all_lf) == n, f"missing LF sections: {sorted(all_lf)}"
 
