@@ -78,53 +78,28 @@ def _pl_default() -> bool:
 
 _SHARED_CODEC = None
 _WARM_CACHE = os.path.expanduser("~/.cache/hydrium_tpu/warm.npz")
-_HINTS_CACHE = os.path.expanduser("~/.cache/hydrium_tpu/hints.json")
 
 
 def _shared_codec():
-    """One adaptive transport codec per process, shared across Encoders
-    (like the fetch-size hints): the code never affects output bytes,
-    only transfer size, and a warm code saves ~1 bit/symbol over the
-    generic prior on the first LF groups of every subsequent encode.
-    State persists across processes (~/.cache/hydrium_tpu) -- stale
-    state costs compression until adaptation catches up, never
-    correctness."""
+    """One adaptive transport codec per process, shared across Encoders:
+    the code never affects output bytes, only transfer size, and a warm
+    code saves ~1 bit/symbol over the generic prior on the first LF
+    groups of every subsequent encode.  State persists across processes
+    (~/.cache/hydrium_tpu) -- stale state costs compression until
+    adaptation catches up, never correctness."""
     global _SHARED_CODEC
     if _SHARED_CODEC is None:
         from .jxl.tokcode import TokenCodec
 
         _SHARED_CODEC = TokenCodec(cache_path=_WARM_CACHE)
-        _load_hints()
     return _SHARED_CODEC
 
 
-def _load_hints() -> None:
-    try:
-        import json
-
-        with open(_HINTS_CACHE) as f:
-            for k, v in json.load(f).items():
-                bh, bw = k.split("x")
-                _JaxDispatch._HINTS.setdefault((int(bh), int(bw)), int(v))
-    except Exception:
-        pass
-
-
 def _save_warm_state() -> None:
-    """Persist the codec + fetch hints (best effort, called at encode
-    finalize)."""
+    """Persist the codec (best effort, called at encode finalize)."""
     try:
-        import json
-
         if _SHARED_CODEC is not None and not _SHARED_CODEC.cold:
             _SHARED_CODEC.save(_WARM_CACHE)
-        if _JaxDispatch._HINTS:
-            os.makedirs(os.path.dirname(_HINTS_CACHE), exist_ok=True)
-            tmp = _HINTS_CACHE + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({f"{k[0]}x{k[1]}": int(v)
-                           for k, v in _JaxDispatch._HINTS.items()}, f)
-            os.replace(tmp, _HINTS_CACHE)
     except Exception:
         pass
 
@@ -341,35 +316,36 @@ def packed_verify(aux: np.ndarray, words, buf_h: int, buf_w: int) -> bool:
 
 def fetch_packed_payload(combined, buf_h: int, buf_w: int, stats=None):
     """Fetch one combined packed payload from a device array with the
-    hint-sized prefix + ranged top-up protocol -> (aux, words_or_None).
+    two-phase exact protocol -> (aux, words_or_None): a tiny aux-prefix
+    read (~3 KB) yields the exact stream length, then ONE ranged fetch
+    pulls exactly that many words.
+
+    This replaced a hint-sized speculative prefix fetch (guess the
+    stream length from the previous LF group, top up if short): the
+    hint over-fetched by whole megabytes whenever content statistics
+    shifted between LF groups or encodes (measured: 8.5 MB fetched for
+    a 0.7 MB smooth-content payload right after a noisy encode), while
+    the aux round trip costs a few ms and overlaps the previous LF
+    group's stream fetch via the prefetch worker.
 
     `combined` may be any 1-D device array (a single-device output or
-    one shard's device-local data); the fetch-size hints are shared
-    per buffer shape across all callers in the process.  words is None
-    when the aux is corrupt or the ok flag is unset."""
+    one shard's device-local data).  words is None when the aux is
+    corrupt or the ok flag is unset."""
     from .ops.pipeline import packed_aux_len
 
     A = packed_aux_len(buf_h, buf_w)
-    key = (buf_h, buf_w)
-    hint = _JaxDispatch._HINTS.get(key, 1 << 18)
-    first = _fetch_prefix(combined, A + hint)
+    first = _fetch_prefix(combined, A)
     aux = np.ascontiguousarray(first[:A]).view(np.int32)
     words = None
     if not packed_verify(aux, None, buf_h, buf_w):
-        # corrupt aux: do not trust its stream sizes (they would
-        # poison the fetch hint and trigger a giant range fetch)
+        # corrupt aux: do not trust its stream sizes (a garbage length
+        # would trigger a giant range fetch)
         return aux, None
     if bool(aux[0] & 1):
         need = packed_need_words(aux, buf_h, buf_w)
-        _JaxDispatch._HINTS[key] = need
-        have = len(first) - A
-        if have >= need + 1:
-            words = first[A:A + need + 1]
-        else:
-            tail = _fetch_range(combined, A + have, need + 1 - have)
-            words = np.concatenate([first[A:], tail])
+        words = _fetch_range(combined, A, need)
         if stats is not None:
-            stats.count("fetched_words", A + max(need + 1, have))
+            stats.count("fetched_words", A + need + 1)
             stats.count("lf_words", (int(aux[3]) + 31) >> 5)
             stats.count("tok_words", (int(aux[1]) + 31) >> 5)
             stats.count("res_words", (int(aux[2]) + 31) >> 5)
@@ -394,9 +370,6 @@ class _JaxDispatch:
                  "_pf_thread", "_pf_ran", "_hist_folded", "tok_lut",
                  "lf_lut", "_codec", "stats", "_wide", "_tag", "_future")
 
-    # per-buffer-shape guess of the stream word count, fed back from the
-    # previous LF group so the combined payload usually needs ONE fetch
-    _HINTS: dict = {}
     # shapes whose content needed the wide residue executable
     _WIDE_HINT: dict = {}
     _warned_prefetch = False
@@ -1041,9 +1014,8 @@ class Encoder:
             from .ops.pipeline import packed_aux_len
 
             A = packed_aux_len(K_stack * th, tw)
-            hint = _JaxDispatch._HINTS.get((K_stack * th, tw), 1 << 18)
             with self.stats.stage("fetch_aux"):
-                first = _fetch_prefix(out["combined"], A + hint)
+                first = _fetch_prefix(out["combined"], A)
             aux = np.ascontiguousarray(first[:A]).view(np.int32)
             if int(aux[0]) == 2:
                 # dense residues: one retry with the wide executable
@@ -1055,7 +1027,7 @@ class Encoder:
                         wide_residues=True, **kwargs)
                 self.stats.count("wide_retries")
                 with self.stats.stage("fetch_aux"):
-                    first = _fetch_prefix(out["combined"], A + hint)
+                    first = _fetch_prefix(out["combined"], A)
                 aux = np.ascontiguousarray(first[:A]).view(np.int32)
             if not bool(aux[0] & 1):
                 self.stats.count("lfg_fallback")
@@ -1063,14 +1035,8 @@ class Encoder:
                     payloads[i] = None   # overflow: per-tile fallback
                 continue
             need = packed_need_words(aux, K_stack * th, tw)
-            _JaxDispatch._HINTS[(K_stack * th, tw)] = need
             with self.stats.stage("fetch_streams"):
-                if len(first) - A >= need + 1:
-                    words = first[A:A + need + 1]
-                else:
-                    tail = _fetch_range(out["combined"], len(first),
-                                        A + need + 1 - len(first))
-                    words = np.concatenate([first[A:], tail])
+                words = _fetch_range(out["combined"], A, need)
             if not packed_verify(aux, words, K_stack * th, tw):
                 self.stats.count("checksum_errors")
                 for i in chunk:
