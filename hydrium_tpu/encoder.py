@@ -636,12 +636,28 @@ _BACKENDS = {
 class _SectionSpool:
     """Raw (unpadded) frame sections, optionally spooled to disk, for
     the streaming finalize path: only section *sizes* stay in RAM, the
-    bytes stream back out at emission time."""
+    bytes stream back out at emission time.
+
+    Each spool owns a unique temp subdirectory of spool_dir (removed on
+    GC), so concurrent encoders -- e.g. multi-host processes pointed at
+    one shared scratch dir -- can never overwrite each other's section
+    files (that collision silently corrupted output before)."""
 
     def __init__(self, spool_dir: Optional[str]) -> None:
-        self.dir = spool_dir
+        self.dir = None
+        if spool_dir is not None:
+            import tempfile
+
+            self.dir = tempfile.mkdtemp(prefix="hydspool-", dir=spool_dir)
         self._count = 0
         self.items: List = []    # (data|path, tail_val, tail_bits, nbytes)
+
+    def __del__(self):
+        d = getattr(self, "dir", None)
+        if d is not None:
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
 
     def add_raw(self, raw) -> None:
         data, tail_val, tail_bits = raw

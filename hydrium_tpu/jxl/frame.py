@@ -421,7 +421,15 @@ class StreamingHFStream:
         self._expected = list(lfgs_per_preset_count)
         self._arrived = [0] * num_presets
         self._per_preset: dict = {}
-        self._spool_dir = spool_dir
+        # unique per-stream temp subdirectory: concurrent encoders
+        # sharing one scratch dir (multi-host processes) must never
+        # overwrite each other's section files
+        self._spool_dir = None
+        if spool_dir is not None:
+            import tempfile
+
+            self._spool_dir = tempfile.mkdtemp(prefix="hydspool-",
+                                               dir=spool_dir)
         # per-group encoded sections keyed by GLOBAL arrival order: when
         # lfg_per_preset > 1 and tiles arrive out of order, presets can
         # flush out of arrival order, but the TOC permutation assumes
@@ -436,6 +444,13 @@ class StreamingHFStream:
         self._lfg_runs: dict = {p: [] for p in range(num_presets)}
         self._global_arrival = 0
         self._spool_count = 0
+
+    def __del__(self):
+        d = getattr(self, "_spool_dir", None)
+        if d is not None:
+            import shutil
+
+            shutil.rmtree(d, ignore_errors=True)
 
     def _preset_hf(self, preset: int) -> native.NativeHF:
         hf = self._per_preset.get(preset)
