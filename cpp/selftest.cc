@@ -39,6 +39,8 @@ int hyd_hf_encode_all(HydHF*, int, HydWriter**, int);
 int hyd_hf_write_header(HydHF*, const uint8_t*, long, HydWriter*);
 void hyd_hf_force_las(HydHF*, int);
 long hyd_lf_decode(const uint32_t*, const uint16_t*, long, long, uint32_t*);
+long hyd_px_pack(const void*, long, long, int, uint8_t*, uint16_t*,
+                 uint32_t*, long, int);
 }
 
 static uint64_t rng_state = 0x9E3779B97F4A7C15ull;
@@ -257,10 +259,85 @@ static void test_lf_decode() {
   printf("lf decode ok\n");
 }
 
+static void test_px_pack() {
+  // PXPACK v1 (hyd_px_pack): pack u8 and u16 buffers with mixed smooth/
+  // noisy/constant regions, then roundtrip with a straight-line unpack
+  // of the documented format (bit planes; raw = base+v, delta =
+  // base+cumsum(unzigzag)).  Exercises both passes + threading under
+  // ASAN/UBSAN.
+  const long H = 70, W = 96;  // W % 32 == 0
+  for (int is16 = 0; is16 < 2; is16++) {
+    std::vector<uint16_t> img16(H * W * 3);
+    std::vector<uint8_t> img8(H * W * 3);
+    const int maxv = is16 ? 65535 : 255;
+    for (long y = 0; y < H; y++)
+      for (long x = 0; x < W; x++)
+        for (long c = 0; c < 3; c++) {
+          long v;
+          if (y < H / 3)
+            v = (x * 3 + y + c * 7) % (maxv + 1);  // gradient
+          else if (y < 2 * H / 3)
+            v = rnd() % (maxv + 1);  // noise
+          else
+            v = 1234 % (maxv + 1);  // constant
+          img16[(y * W + x) * 3 + c] = (uint16_t)v;
+          img8[(y * W + x) * 3 + c] = (uint8_t)v;
+        }
+    const long nb = 3 * H * (W >> 5);
+    std::vector<uint8_t> hdr(nb);
+    std::vector<uint16_t> base(nb);
+    std::vector<uint32_t> words(nb * 16 + 1);
+    long n = hyd_px_pack(is16 ? (const void*)img16.data()
+                              : (const void*)img8.data(),
+                         H, W, is16, hdr.data(), base.data(), words.data(),
+                         (long)words.size(), 3);
+    if (n < 0) {
+      fprintf(stderr, "px pack overflow is16=%d\n", is16);
+      exit(1);
+    }
+    long off = 0;
+    for (long b = 0; b < nb; b++) {
+      const long c = b / (H * (W >> 5));
+      const long y = (b / (W >> 5)) % H;
+      const long x0 = (b % (W >> 5)) << 5;
+      const int width = hdr[b] & 31;
+      int prev = base[b];
+      for (int k = 0; k < 32; k++) {
+        uint32_t v = 0;
+        for (int j = 0; j < width; j++)
+          v |= ((words[off + j] >> k) & 1u) << j;
+        int px;
+        if (hdr[b] & 0x80) {
+          int d = (int)(v >> 1);
+          if (v & 1) d = -d - 1;
+          px = prev + d;
+          prev = px;
+        } else {
+          px = (int)base[b] + (int)v;
+        }
+        const long i = (y * W + x0 + k) * 3 + c;
+        const int want = is16 ? img16[i] : img8[i];
+        if (px != want) {
+          fprintf(stderr, "px pack mismatch b=%ld k=%d: %d != %d\n", b, k,
+                  px, want);
+          exit(1);
+        }
+      }
+      off += width;
+    }
+    if (off != n) {
+      fprintf(stderr, "px pack word count %ld != %ld\n", off, n);
+      exit(1);
+    }
+  }
+  printf("px pack ok\n");
+}
+
 int main() {
   test_prefix_streams();
   test_hf_padded_and_packed();
   test_lf_decode();
+  test_px_pack();
   printf("selftest passed\n");
   return 0;
 }

@@ -1308,4 +1308,155 @@ int hyd_png_unfilter(uint8_t* cur, const uint8_t* prev, long n, int bpp,
   }
 }
 
+// ---------------------------------------------------------------------------
+// PXPACK v1: host-side lossless bitpack of u8/u16 pixel buffers so the
+// host->device transfer of an LF group carries near-minimal bits (h2d is
+// the measured bottleneck of the remote-TPU rig; the reverse direction
+// already ships the near-entropy packed payload).  The device unpacks
+// with vectorized shifts/masks (ops/pipeline.py _unpack_px_planes --
+// the two sides share this format; change both together):
+//
+//   blocks of 32 consecutive pixels along a row, one channel per block,
+//   in channel-planar raster order: block b = (c*H + y)*(W/32) + xb
+//   hdr[b]  bits 0..4 = bit width (0..16), bit 7 = delta mode
+//   base[b] u16: raw mode = block min; delta mode = first pixel value
+//   words   per block exactly `width` u32 BIT-PLANE words (plane j holds
+//           bit j of all 32 coded values, value k at bit position k)
+//   coded values: raw = px - min; delta = zigzag(px[k] - px[k-1]) with
+//   px[-1] := base, so a delta block's value 0 is always 0
+//
+// The per-block raw/delta choice keeps noisy blocks at their min-offset
+// range width while gradient content drops to 1-3 bits/px.  Lossless by
+// construction: the encoder's output is a function of the exact pixels
+// either way (tests/test_pxpack.py pins pack->unpack identity and
+// byte-identical encodes).
+static inline int bitlen_u32(uint32_t v) {
+  return v ? 32 - __builtin_clz(v) : 0;
+}
+
+// pass 1 of hyd_px_pack: header (width/mode) for blocks [b0, b1)
+static void px_pack_widths(const uint8_t* px8, const uint16_t* px16, long h,
+                           long w, long b0, long b1, uint8_t* hdr,
+                           uint16_t* base) {
+  const long wb = w >> 5;
+  for (long b = b0; b < b1; b++) {
+    const long c = b / (h * wb);
+    const long y = (b / wb) % h;
+    const long x0 = (b % wb) << 5;
+    int vals[32];
+    const long s = (y * w + x0) * 3 + c;
+    if (px16) {
+      for (int k = 0; k < 32; k++) vals[k] = px16[s + 3 * k];
+    } else {
+      for (int k = 0; k < 32; k++) vals[k] = px8[s + 3 * k];
+    }
+    int mn = vals[0], mx = vals[0];
+    uint32_t dmax = 0;
+    int prev = vals[0];
+    for (int k = 0; k < 32; k++) {
+      const int v = vals[k];
+      mn = v < mn ? v : mn;
+      mx = v > mx ? v : mx;
+      const int d = v - prev;
+      const uint32_t z = d >= 0 ? (uint32_t)(2 * d) : (uint32_t)(-2 * d - 1);
+      dmax = z > dmax ? z : dmax;
+      prev = v;
+    }
+    const int wr = bitlen_u32((uint32_t)(mx - mn));
+    const int wd = bitlen_u32(dmax);
+    if (wd < wr) {
+      hdr[b] = (uint8_t)(wd | 0x80);
+      base[b] = (uint16_t)vals[0];
+    } else {
+      hdr[b] = (uint8_t)wr;
+      base[b] = (uint16_t)mn;
+    }
+  }
+}
+
+// pass 2: bit-plane fill for blocks [b0, b1) at precomputed offsets
+static void px_pack_fill(const uint8_t* px8, const uint16_t* px16, long h,
+                         long w, long b0, long b1, const uint8_t* hdr,
+                         const uint16_t* base, const uint32_t* offs,
+                         uint32_t* words) {
+  const long wb = w >> 5;
+  for (long b = b0; b < b1; b++) {
+    const int width = hdr[b] & 31;
+    if (!width) continue;
+    const long c = b / (h * wb);
+    const long y = (b / wb) % h;
+    const long x0 = (b % wb) << 5;
+    const long s = (y * w + x0) * 3 + c;
+    uint32_t coded[32];
+    if (hdr[b] & 0x80) {
+      int prev = base[b];
+      for (int k = 0; k < 32; k++) {
+        const int v = px16 ? px16[s + 3 * k] : px8[s + 3 * k];
+        const int d = v - prev;
+        coded[k] = d >= 0 ? (uint32_t)(2 * d) : (uint32_t)(-2 * d - 1);
+        prev = v;
+      }
+    } else {
+      const int mn = base[b];
+      for (int k = 0; k < 32; k++) {
+        const int v = px16 ? px16[s + 3 * k] : px8[s + 3 * k];
+        coded[k] = (uint32_t)(v - mn);
+      }
+    }
+    uint32_t* out = words + offs[b];
+    for (int j = 0; j < width; j++) {
+      uint32_t m = 0;
+      for (int k = 0; k < 32; k++) m |= ((coded[k] >> j) & 1u) << k;
+      out[j] = m;
+    }
+  }
+}
+
+// Pack an interleaved [h, w, 3] u8/u16 buffer (w % 32 == 0).  hdr/base
+// must hold 3*h*(w/32) entries; returns the packed word count, or -1
+// when it would exceed words_cap (caller uploads raw instead).
+long hyd_px_pack(const void* px, long h, long w, int is16, uint8_t* hdr,
+                 uint16_t* base, uint32_t* words, long words_cap,
+                 int n_threads) {
+  if (w % 32 || h <= 0 || w <= 0) return -1;
+  const uint8_t* px8 = is16 ? nullptr : (const uint8_t*)px;
+  const uint16_t* px16 = is16 ? (const uint16_t*)px : nullptr;
+  const long nb = 3 * h * (w >> 5);
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > 8) n_threads = 8;
+  {
+    std::vector<std::thread> ts;
+    const long step = (nb + n_threads - 1) / n_threads;
+    for (int t = 1; t < n_threads; t++) {
+      const long b0 = t * step;
+      if (b0 >= nb) break;
+      ts.emplace_back(px_pack_widths, px8, px16, h, w, b0,
+                      std::min(nb, b0 + step), hdr, base);
+    }
+    px_pack_widths(px8, px16, h, w, 0, std::min(nb, step), hdr, base);
+    for (auto& t : ts) t.join();
+  }
+  std::vector<uint32_t> offs((size_t)nb);
+  long total = 0;
+  for (long b = 0; b < nb; b++) {
+    offs[(size_t)b] = (uint32_t)total;
+    total += hdr[b] & 31;
+  }
+  if (total > words_cap) return -1;
+  {
+    std::vector<std::thread> ts;
+    const long step = (nb + n_threads - 1) / n_threads;
+    for (int t = 1; t < n_threads; t++) {
+      const long b0 = t * step;
+      if (b0 >= nb) break;
+      ts.emplace_back(px_pack_fill, px8, px16, h, w, b0,
+                      std::min(nb, b0 + step), hdr, base, offs.data(), words);
+    }
+    px_pack_fill(px8, px16, h, w, 0, std::min(nb, step), hdr, base,
+                 offs.data(), words);
+    for (auto& t : ts) t.join();
+  }
+  return total;
+}
+
 }  // extern "C"

@@ -173,8 +173,16 @@ def _fetch_pool():
 # pixel uploads are striped too: concurrent device_puts of row chunks,
 # reassembled on device by a per-shape jitted concat (cached, and tiny
 # next to the pipeline executable each buffer shape already compiles).
+# Stripe size re-probed 2026-08-19 with the encoder's REAL pattern
+# (scripts/tunnel_probe3.py: per-LFG [2048,2048,3] row-striped puts +
+# on-device concat + dependent readback): one-LFG bandwidth is nearly
+# flat across stripe sizes (36-40 MB/s from 1 MB to whole-buffer), with
+# 2 MB best both alone (39.6) and in a 4-LFG train (32.5).  The same
+# probe shows the tunnel is effectively half-duplex: concurrent h2d+d2h
+# totals ~30 MB/s shared, so end-to-end throughput is bound by TOTAL
+# bytes on the wire, not by either direction alone.
 _H2D_POOL = None
-_H2D_STRIPE_BYTES = 3 << 20
+_H2D_STRIPE_BYTES = 2 << 20
 _CONCATS: dict = {}
 
 
@@ -205,6 +213,48 @@ def _upload_pixels(px: np.ndarray):
             for s in starts]
     chunks = [f.result() for f in futs]
     key = (px.shape, str(px.dtype), rows)
+    f = _CONCATS.get(key)
+    if f is None:
+        f = jax.jit(lambda *cs: jnp.concatenate(cs, axis=0))
+        _CONCATS[key] = f
+    return f(*chunks)
+
+
+def _pxpack_on() -> bool:
+    """PXPACK v1 packed pixel uploads (HYDRIUM_PXPACK=0 disables): the
+    host bitpacks u8/u16 pixels (cpp hyd_px_pack) and the device unpacks
+    (ops/pipeline._unpack_px_planes), cutting h2d bytes ~2-4x on real
+    content; noisy content that would not shrink below 85% of raw
+    automatically falls back to the raw upload per LF group."""
+    return os.environ.get("HYDRIUM_PXPACK", "1") != "0"
+
+
+def _bucket_pxwords(n: int) -> int:
+    """Pad packed-pixel word counts to {2^k, 1.5*2^k} buckets: each
+    bucket is one compiled executable of the whole pipeline, and the
+    padded tail of zeros is cheap on the wire."""
+    b = 1 << 16
+    while b < n:
+        if n <= (b * 3) >> 1:
+            return (b * 3) >> 1
+        b <<= 1
+    return b
+
+
+def _upload_flat(a: np.ndarray):
+    """Striped upload of a 1-D array (the packed-pixel word stream),
+    mirroring _upload_pixels' row striping + cached device concat."""
+    import jax
+    import jax.numpy as jnp
+
+    if a.nbytes <= 2 * _H2D_STRIPE_BYTES:
+        return jnp.asarray(a)
+    elems = max(1 << 16, ((_H2D_STRIPE_BYTES // a.itemsize) >> 10) << 10)
+    starts = list(range(0, a.shape[0], elems))
+    futs = [_h2d_pool().submit(jax.device_put, a[s:s + elems])
+            for s in starts]
+    chunks = [f.result() for f in futs]
+    key = (a.shape, str(a.dtype), elems)
     f = _CONCATS.get(key)
     if f is None:
         f = jax.jit(lambda *cs: jnp.concatenate(cs, axis=0))
@@ -314,19 +364,33 @@ def packed_verify(aux: np.ndarray, words, buf_h: int, buf_w: int) -> bool:
     return True
 
 
-def fetch_packed_payload(combined, buf_h: int, buf_w: int, stats=None):
-    """Fetch one combined packed payload from a device array with the
-    two-phase exact protocol -> (aux, words_or_None): a tiny aux-prefix
-    read (~3 KB) yields the exact stream length, then ONE ranged fetch
-    pulls exactly that many words.
+# cap on speculative over-read: a wrong small-payload hint costs at most
+# this many extra words on the wire (256 KB), far less than one tunnel
+# round trip saves for small payloads
+_SPEC_CAP_WORDS = 64 * 1024
 
-    This replaced a hint-sized speculative prefix fetch (guess the
-    stream length from the previous LF group, top up if short): the
+
+def fetch_packed_payload(combined, buf_h: int, buf_w: int, stats=None,
+                         hint_words: int = 0):
+    """Fetch one combined packed payload from a device array ->
+    (aux, words_or_None).
+
+    Exact two-phase protocol: a tiny aux-prefix read (~3 KB) yields the
+    exact stream length, then ONE ranged fetch pulls exactly that many
+    words.  This replaced a hint-sized speculative prefix fetch (guess
+    the stream length from the previous LF group, top up if short): the
     hint over-fetched by whole megabytes whenever content statistics
     shifted between LF groups or encodes (measured: 8.5 MB fetched for
     a 0.7 MB smooth-content payload right after a noisy encode), while
     the aux round trip costs a few ms and overlaps the previous LF
     group's stream fetch via the prefetch worker.
+
+    Small-payload shortcut: when `hint_words` (the previous LF group's
+    stream length) is small, the second round trip costs more than a
+    bounded over-read, so the first read speculatively covers
+    aux + min(bucketed hint, _SPEC_CAP_WORDS) and the ranged fetch only
+    tops up the (rare) shortfall -- one round trip per LF group on
+    smooth content, exact fetch on noisy.
 
     `combined` may be any 1-D device array (a single-device output or
     one shard's device-local data).  words is None when the aux is
@@ -334,7 +398,9 @@ def fetch_packed_payload(combined, buf_h: int, buf_w: int, stats=None):
     from .ops.pipeline import packed_aux_len
 
     A = packed_aux_len(buf_h, buf_w)
-    first = _fetch_prefix(combined, A)
+    spec = min(int(hint_words), _SPEC_CAP_WORDS,
+               combined.shape[0] - A - 1) if hint_words > 0 else 0
+    first = _fetch_prefix(combined, A + spec)
     aux = np.ascontiguousarray(first[:A]).view(np.int32)
     words = None
     if not packed_verify(aux, None, buf_h, buf_w):
@@ -343,9 +409,16 @@ def fetch_packed_payload(combined, buf_h: int, buf_w: int, stats=None):
         return aux, None
     if bool(aux[0] & 1):
         need = packed_need_words(aux, buf_h, buf_w)
-        words = _fetch_range(combined, A, need)
+        have = first.shape[0] - A
+        if have >= need + 1:
+            words = first[A:A + need + 1]
+        elif have > 0 and need - have >= 0:
+            top = _fetch_range(combined, A + have, need - have)
+            words = np.concatenate([first[A:], top])
+        else:
+            words = _fetch_range(combined, A, need)
         if stats is not None:
-            stats.count("fetched_words", A + need + 1)
+            stats.count("fetched_words", A + max(spec, need) + 1)
             stats.count("lf_words", (int(aux[3]) + 31) >> 5)
             stats.count("tok_words", (int(aux[1]) + 31) >> 5)
             stats.count("res_words", (int(aux[2]) + 31) >> 5)
@@ -368,7 +441,8 @@ class _JaxDispatch:
     __slots__ = ("out", "lfg", "preset", "buf_h", "buf_w", "kwargs",
                  "presets_dev", "cm_dev", "px", "_aux", "_words",
                  "_pf_thread", "_pf_ran", "_hist_folded", "tok_lut",
-                 "lf_lut", "_codec", "stats", "_wide", "_tag", "_future")
+                 "lf_lut", "_codec", "stats", "_wide", "_tag", "_future",
+                 "_px_host", "_pxp_dev", "_ubuf")
 
     # shapes whose content needed the wide residue executable
     _WIDE_HINT: dict = {}
@@ -413,8 +487,31 @@ class _JaxDispatch:
         self.cm_dev = jnp.asarray(hf.cluster_map)
         ev = (stats.event if stats is not None
               else (lambda _n: __import__("contextlib").nullcontext()))
-        with ev(f"h2d[{self._tag}]"):
-            self.px = _upload_pixels(px)
+        self._ubuf = (ubuf_h, ubuf_w)
+        self._px_host = px
+        self._pxp_dev = None
+        self.px = None
+        pxp = None
+        if hf.use_native and _pxpack_on() and sample_fmt in ("uint8",
+                                                             "uint16"):
+            from .jxl import native as _native
+
+            with ev(f"pxpack[{self._tag}]"):
+                pxp = _native.px_pack(px)
+        if pxp is not None:
+            hdr, basearr, words = pxp
+            nw = _bucket_pxwords(max(words.size, 1))
+            wpad = np.zeros(nw, np.uint32)
+            wpad[:words.size] = words
+            with ev(f"h2d[{self._tag}]"):
+                self._pxp_dev = (_upload_flat(wpad), jnp.asarray(hdr),
+                                 jnp.asarray(basearr))
+            if stats is not None:
+                stats.count("pxpack_lfgs")
+                stats.count("pxpack_words", int(words.size))
+        else:
+            with ev(f"h2d[{self._tag}]"):
+                self.px = _upload_pixels(px)
         if hf.use_native:
             from .jxl.tokcode import TokenCodec
 
@@ -444,7 +541,7 @@ class _JaxDispatch:
         exactly the table the device packed with, even though the codec
         adapts between dispatches."""
         import jax.numpy as jnp
-        from .ops.pipeline import encode_lfg_packed
+        from .ops.pipeline import encode_lfg_packed, encode_lfg_packed_px
 
         from .jxl.tokcode import LF_CLASS
 
@@ -455,10 +552,19 @@ class _JaxDispatch:
         # stream decodes with the LF_CLASS row of the SAME snapshot
         self.tok_lut = lut[:self.kwargs["tok_classes"]]
         self.lf_lut = lut[LF_CLASS]
-        self.out = encode_lfg_packed(
-            self.px, self.lfg.height, self.lfg.width, self.presets_dev,
-            self.cm_dev, jnp.asarray(lens), jnp.asarray(codes),
-            wide_residues=self._wide, **self.kwargs)
+        if self._pxp_dev is not None:
+            words, hdr, basearr = self._pxp_dev
+            self.out = encode_lfg_packed_px(
+                words, hdr, basearr, self.lfg.height, self.lfg.width,
+                self.presets_dev, self.cm_dev, jnp.asarray(lens),
+                jnp.asarray(codes), ubuf_h=self._ubuf[0],
+                ubuf_w=self._ubuf[1], wide_residues=self._wide,
+                **self.kwargs)
+        else:
+            self.out = encode_lfg_packed(
+                self.px, self.lfg.height, self.lfg.width, self.presets_dev,
+                self.cm_dev, jnp.asarray(lens), jnp.asarray(codes),
+                wide_residues=self._wide, **self.kwargs)
 
     def start_prefetch(self, sem) -> None:
         """Run prefetch() on a daemon thread; `sem` serializes tunnel
@@ -601,6 +707,10 @@ class _JaxDispatch:
 
         kw = {("clusters_per_preset" if k == "tok_classes" else k): v
               for k, v in self.kwargs.items()}
+        if self.px is None:
+            # the raw pixels were never uploaded (packed-pixel upload
+            # path); the unpacked fallback needs them
+            self.px = _upload_pixels(self._px_host)
         out = encode_lfg(self.px, lfg.height, lfg.width, self.presets_dev,
                          self.cm_dev, **kw)
         lf_q = np.asarray(out["lf_q"])[:vh, :vw]

@@ -106,6 +106,12 @@ def _load():
         lib.hyd_png_unfilter.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                          ctypes.c_long, ctypes.c_int,
                                          ctypes.c_int]
+        lib.hyd_px_pack.restype = ctypes.c_long
+        lib.hyd_px_pack.argtypes = [ctypes.c_void_p, ctypes.c_long,
+                                    ctypes.c_long, ctypes.c_int,
+                                    ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_void_p, ctypes.c_long,
+                                    ctypes.c_int]
         _lib = lib
     except Exception as e:  # pragma: no cover
         _load_error = str(e)
@@ -134,6 +140,40 @@ def lf_decode(words: np.ndarray, lf_lut: np.ndarray, lf_n: int,
     if end != total_bits:
         return None
     return out
+
+
+def px_pack(px: np.ndarray, cap_ratio: float = 0.85,
+            n_threads: int = 3) -> Optional[tuple]:
+    """PXPACK v1 (cpp/serializer.cc hyd_px_pack): bitpack an interleaved
+    [h, w, 3] u8/u16 pixel buffer (w % 32 == 0) into per-block bit
+    planes for a cheap host->device transfer; the device unpacks with
+    ops/pipeline._unpack_px_planes.  Returns (hdr u8[nb], base u16[nb],
+    words u32[nwords]) or None when the packed form would not be
+    meaningfully smaller than raw (cap_ratio of the raw byte size --
+    e.g. saturated-noise content) or the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    h, w, _c = px.shape
+    if w % 32 or px.dtype not in (np.uint8, np.uint16):
+        return None
+    is16 = px.dtype == np.uint16
+    px = np.ascontiguousarray(px)
+    nb = 3 * h * (w >> 5)
+    hdr = np.empty(nb, np.uint8)
+    base = np.empty(nb, np.uint16)
+    # budget: headers (hdr + base = 3 bytes/block = 0.75 bits/px) count
+    # against the raw size too, so cap the words at ratio*raw - headers
+    cap = int((px.nbytes * cap_ratio - nb * 3) // 4)
+    if cap <= 0:
+        return None
+    words = np.empty(cap, np.uint32)
+    n = lib.hyd_px_pack(px.ctypes.data, h, w, 1 if is16 else 0,
+                        hdr.ctypes.data, base.ctypes.data,
+                        words.ctypes.data, cap, n_threads)
+    if n < 0:
+        return None
+    return hdr, base, words[:n]
 
 
 class NativeBitWriter:

@@ -1053,6 +1053,85 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
     return {"combined": combined}
 
 
+# ---------------------------------------------------------------------------
+# PXPACK v1: packed pixel *upload* (the h2d mirror of the packed payload)
+# ---------------------------------------------------------------------------
+#
+# The host packs u8/u16 pixel buffers into per-block bit planes
+# (cpp/serializer.cc hyd_px_pack; format documented there -- the two
+# sides must change together) and the device unpacks them here with
+# vectorized shifts/masks before running the normal pipeline.  h2d is
+# the dominant wire cost of a remote-TPU encode (raw 4K pixels are ~3x
+# the encoded payload), and the tunnel's own transport compression is
+# weak (measured: smooth-gradient content uploads only ~1.5x faster
+# than random bytes), so gradient content drops from 24 to ~3-6 bits/px
+# here.  Lossless: tests pin byte-identical encodes vs the raw-upload
+# path.
+
+
+def _unpack_px_planes(words: jnp.ndarray, hdr: jnp.ndarray,
+                      base: jnp.ndarray, ubuf_h: int, ubuf_w: int,
+                      is16: bool) -> jnp.ndarray:
+    """[nwords] u32 + per-block hdr/base -> planar [3, ubuf_h, ubuf_w]
+    int32 pixels.  Blocks are 32 px along a row in channel-planar raster
+    order; hdr bits 0..4 = bit width, bit 7 = delta mode; plane word j
+    holds bit j of all 32 coded values."""
+    wb = ubuf_w >> 5
+    nb = 3 * ubuf_h * wb
+    width = (hdr & 31).astype(jnp.int32)                    # [nb]
+    is_delta = (hdr >> 7) > 0                               # [nb]
+    off = jnp.cumsum(width) - width                         # [nb]
+    wmax = 16 if is16 else 8
+    n = words.shape[0]
+    # the one gather of the unpack: each block's (up to) wmax plane
+    # words; unused lanes are masked by `width` below, so the clamped
+    # over-read is harmless
+    idx = off[:, None] + jnp.arange(wmax, dtype=jnp.int32)[None, :]
+    planes = words[jnp.minimum(idx, n - 1)]                 # [nb, wmax]
+    k = jnp.arange(32, dtype=jnp.uint32)[None, :]
+    v = jnp.zeros((nb, 32), jnp.uint32)
+    for j in range(wmax):
+        bit = (planes[:, j:j + 1] >> k) & jnp.uint32(1)
+        v = v | jnp.where(j < width[:, None], bit << j, jnp.uint32(0))
+    # delta blocks: unzigzag + running sum from base (coded value 0 of a
+    # delta block is always 0, so rec[0] == base == first pixel)
+    d = (v >> 1).astype(jnp.int32) ^ -((v & 1).astype(jnp.int32))
+    b32 = base.astype(jnp.int32)[:, None]
+    rec = jnp.where(is_delta[:, None], b32 + jnp.cumsum(d, axis=1),
+                    b32 + v.astype(jnp.int32))              # [nb, 32]
+    return rec.reshape(3, ubuf_h, ubuf_w)
+
+
+@partial(jax.jit, static_argnames=("ubuf_h", "ubuf_w", "buf_h", "buf_w",
+                                   "linear_light", "num_clusters",
+                                   "sample_kind", "use_pallas", "lf_seg_vb",
+                                   "tok_classes", "wide_residues"))
+def encode_lfg_packed_px(words: jnp.ndarray, hdr: jnp.ndarray,
+                         base: jnp.ndarray, height, width,
+                         presets: jnp.ndarray, cluster_map: jnp.ndarray,
+                         tok_len: jnp.ndarray, tok_code: jnp.ndarray, *,
+                         ubuf_h: int, ubuf_w: int, buf_h: int, buf_w: int,
+                         linear_light: bool, num_clusters: int,
+                         sample_kind: str, use_pallas: bool = False,
+                         lf_seg_vb: int = 0, tok_classes: int = 9,
+                         wide_residues: bool = False):
+    """encode_lfg_packed fed by a PXPACK v1 upload instead of raw pixels.
+    `words` arrives bucket-padded (the tail zeros are masked by hdr), so
+    a handful of executables serve every packed size."""
+    planar = _unpack_px_planes(words, hdr, base, ubuf_h, ubuf_w,
+                               sample_kind == "uint16")
+    dt = jnp.uint16 if sample_kind == "uint16" else jnp.uint8
+    pixels = jnp.stack([planar[0], planar[1], planar[2]],
+                       axis=-1).astype(dt)
+    return encode_lfg_packed(pixels, height, width, presets, cluster_map,
+                             tok_len, tok_code, buf_h=buf_h, buf_w=buf_w,
+                             linear_light=linear_light,
+                             num_clusters=num_clusters,
+                             sample_kind=sample_kind, use_pallas=use_pallas,
+                             lf_seg_vb=lf_seg_vb, tok_classes=tok_classes,
+                             wide_residues=wide_residues)
+
+
 # aux layout constants (format v4); see the module comment above
 AUX_SCALARS = 8
 AUX_HIST_ROWS = 10      # 9 HF classes + 1 LF class

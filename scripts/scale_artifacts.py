@@ -70,23 +70,33 @@ yy = np.arange(h, dtype=np.float32)[:, None, None]
 xx = np.arange(w, dtype=np.float32)[None, :, None]
 base = 32768 + 20000 * np.sin(xx / 211.0) * np.cos(yy / 97.0)
 img = np.clip(base + rng.normal(0, 2500, (h, w, 3)), 0, 65535).astype(np.uint16)
-meta = ImageMetadata(width=w, height=h)
-enc = Encoder(meta, backend="jax")
-t0 = time.perf_counter()
-out = bytearray()
-for ty in range((h + 2047) // 2048):
-    for tx in range((w + 2047) // 2048):
-        enc.send_tile(img[ty*2048:(ty+1)*2048, tx*2048:(tx+1)*2048], tx, ty,
-                      sample_fmt=SampleFormat.UINT16)
-        out.extend(enc.take_output())
-dt = time.perf_counter() - t0
-data = bytes(out)
+def encode_once():
+    meta = ImageMetadata(width=w, height=h)
+    enc = Encoder(meta, backend="jax")
+    t0 = time.perf_counter()
+    out = bytearray()
+    for ty in range((h + 2047) // 2048):
+        for tx in range((w + 2047) // 2048):
+            enc.send_tile(img[ty*2048:(ty+1)*2048, tx*2048:(tx+1)*2048],
+                          tx, ty, sample_fmt=SampleFormat.UINT16)
+            out.extend(enc.take_output())
+    return time.perf_counter() - t0, bytes(out), enc
+
+# first pass pays XLA compiles for every bucketed buffer shape the 8K
+# grid produces (a cold persistent cache was the round-2 artifact's
+# 0.13 Mpix/s: ~4 shapes x narrow/wide x ~30 s); the steady-state
+# number is the second, warm pass
+dt_cold, _, _ = encode_once()
+dt, data, enc = encode_once()
 dec = djxl.decode(data)
 psnr = djxl.psnr(img / 65535.0, dec)
 print(json.dumps({{"config": "8K-16bit one-frame", "h": h, "w": w,
                   "mpix_s": round(h*w/dt/1e6, 3), "seconds": round(dt, 2),
+                  "seconds_cold_incl_compiles": round(dt_cold, 2),
                   "bytes": len(data), "bpp": round(8*len(data)/(h*w), 3),
                   "psnr_db": round(float(psnr), 2),
+                  "stages_ms": {{k: round(v*1e3, 1) for k, v in
+                                enc.stats.stage_seconds.items()}},
                   "counters": dict(enc.stats.counters)}}))
 """
 

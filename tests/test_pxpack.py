@@ -1,0 +1,119 @@
+"""PXPACK v1: packed pixel uploads (cpp hyd_px_pack <-> ops/pipeline
+_unpack_px_planes).  The pack must be lossless -- the jax backend's
+output bytes may not depend on whether pixels crossed the wire raw or
+packed -- and the packed form must actually shrink compressible content."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hydrium_tpu.jxl import native
+from hydrium_tpu.ops.pipeline import _unpack_px_planes
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library unavailable")
+
+
+def _roundtrip(img: np.ndarray) -> float:
+    """pack -> device unpack -> compare; returns packed/raw byte ratio."""
+    r = native.px_pack(img, cap_ratio=100.0)
+    assert r is not None
+    hdr, base, words = r
+    wpad = np.zeros(words.size + 4, np.uint32)
+    wpad[:words.size] = words
+    planar = np.asarray(_unpack_px_planes(
+        jnp.asarray(wpad), jnp.asarray(hdr), jnp.asarray(base),
+        img.shape[0], img.shape[1], img.dtype == np.uint16))
+    rec = np.stack([planar[0], planar[1], planar[2]],
+                   axis=-1).astype(img.dtype)
+    np.testing.assert_array_equal(rec, img)
+    return (hdr.nbytes + base.nbytes + words.nbytes) / img.nbytes
+
+
+def test_roundtrip_random_u8():
+    rng = np.random.default_rng(0)
+    _roundtrip(rng.integers(0, 256, (70, 96, 3)).astype(np.uint8))
+
+
+def test_roundtrip_random_u16():
+    rng = np.random.default_rng(1)
+    _roundtrip(rng.integers(0, 65536, (70, 96, 3)).astype(np.uint16))
+
+
+def test_roundtrip_mixed_content_and_ratio():
+    """Gradient + noise + constant regions in one buffer: per-block
+    raw/delta mode selection must stay lossless, and the smooth and
+    constant regions must actually pack small."""
+    rng = np.random.default_rng(2)
+    h, w = 96, 128
+    img = np.empty((h, w, 3), np.uint8)
+    xx = np.arange(w)[None, :, None]
+    img[:32] = (xx * 2 % 256).astype(np.uint8)          # gradient
+    img[32:64] = rng.integers(0, 256, (32, w, 3))        # noise
+    img[64:] = 200                                       # constant
+    ratio = _roundtrip(img)
+    assert ratio < 0.6, ratio
+
+    # width-2 delta blocks + 3 B/block headers floor out around 0.34
+    smooth = np.broadcast_to(
+        (128 + 60 * np.sin(np.arange(w, dtype=np.float32) / 211.0)
+         ).astype(np.uint8)[None, :, None], (h, w, 3)).copy()
+    assert _roundtrip(smooth) < 0.4
+
+
+def test_roundtrip_extremes():
+    for v in (0, 255):
+        _roundtrip(np.full((32, 32, 3), v, np.uint8))
+    for v in (0, 65535):
+        _roundtrip(np.full((32, 32, 3), v, np.uint16))
+    # alternating min/max: widest possible deltas, raw mode must win
+    img = np.zeros((32, 64, 3), np.uint8)
+    img[:, ::2] = 255
+    _roundtrip(img)
+
+
+def test_px_pack_rejects_incompressible():
+    """Saturated noise must return None at the production cap ratio so
+    the encoder uploads raw instead of a larger packed form."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    assert native.px_pack(img, cap_ratio=0.85) is None
+
+
+def test_px_pack_rejects_unaligned_width():
+    assert native.px_pack(np.zeros((32, 33, 3), np.uint8)) is None
+    assert native.px_pack(np.zeros((32, 32, 3), np.float32)) is None
+
+
+@pytest.mark.parametrize("fmt", ["uint8", "uint16"])
+def test_e2e_bytes_identical_packed_vs_raw(fmt, monkeypatch):
+    """The jax backend's encoded bytes must not depend on the upload
+    path (PXPACK on vs off) -- pins the device unpack against the raw
+    pixel path through the whole pipeline."""
+    from hydrium_tpu.config import ImageMetadata, SampleFormat
+    from hydrium_tpu.encoder import Encoder
+
+    rng = np.random.default_rng(4)
+    xx = np.arange(520, dtype=np.float32)[None, :, None]
+    yy = np.arange(300, dtype=np.float32)[:, None, None]
+    base = 128 + 80 * np.sin(xx / 97.0) * np.cos(yy / 53.0)
+    img = np.clip(base + rng.normal(0, 3, (300, 520, 3)), 0,
+                  255).astype(np.uint8)
+    if fmt == "uint16":
+        img = img.astype(np.uint16) * 257
+    sf = SampleFormat.UINT16 if fmt == "uint16" else SampleFormat.UINT8
+
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("HYDRIUM_PXPACK", flag)
+        meta = ImageMetadata(width=img.shape[1], height=img.shape[0])
+        enc = Encoder(meta, backend="jax")
+        enc.send_tile(img, 0, 0, sample_fmt=sf)
+        outs[flag] = enc.take_output()
+        if flag == "1":
+            assert enc.stats.counters.get("pxpack_lfgs", 0) == 1
+    assert outs["0"] == outs["1"]
+    assert len(outs["0"]) > 100
