@@ -446,6 +446,10 @@ class _JaxDispatch:
 
     # shapes whose content needed the wide residue executable
     _WIDE_HINT: dict = {}
+    # last stream length per buffer shape: feeds the bounded speculative
+    # first read of fetch_packed_payload (one round trip per LF group on
+    # small payloads instead of aux-then-range)
+    _NEED_HINT: dict = {}
     _warned_prefetch = False
 
     def __init__(self, pixels, sample_fmt, linear_light, lfg, preset, hf,
@@ -595,8 +599,14 @@ class _JaxDispatch:
 
     def _fetch_once(self):
         """One fetch attempt -> (aux, words_or_None)."""
-        return fetch_packed_payload(self.out["combined"], self.buf_h,
-                                    self.buf_w, stats=self.stats)
+        hint = _JaxDispatch._NEED_HINT.get((self.buf_h, self.buf_w), 0)
+        aux, words = fetch_packed_payload(self.out["combined"], self.buf_h,
+                                          self.buf_w, stats=self.stats,
+                                          hint_words=hint)
+        if words is not None:
+            _JaxDispatch._NEED_HINT[(self.buf_h, self.buf_w)] = \
+                packed_need_words(aux, self.buf_h, self.buf_w)
+        return aux, words
 
     def prefetch(self) -> None:
         """Pull the combined payload to the host (run on a worker thread

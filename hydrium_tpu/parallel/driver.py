@@ -173,13 +173,16 @@ def encode_image_sharded(image: np.ndarray, mesh=None,
             for r in range(rows):
                 shard_rows[j0 + r] = s.data[r]
 
+        hint = 0
         for j, lfid in enumerate(ids):
             g = lfgs[lfid]
             preset = lfid // geo.lfg_per_preset
-            from ..encoder import packed_verify
+            from ..encoder import packed_need_words, packed_verify
 
             aux, words = fetch_packed_payload(shard_rows[j], 2048, 2048,
-                                              stats=stats)
+                                              stats=stats, hint_words=hint)
+            if words is not None:
+                hint = packed_need_words(aux, 2048, 2048)
             if words is not None and not packed_verify(aux, words, 2048,
                                                        2048):
                 # one refetch on a corrupt transfer, then surrender
