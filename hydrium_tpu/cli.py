@@ -187,6 +187,7 @@ def main(argv=None) -> int:
               f"({8.0 * total / (w * h):.3f} bpp) in {dt:.2f}s "
               f"({w * h / dt / 1e6:.2f} Mpixels/s), "
               f"peak RSS {_peak_rss_mb():.0f} MB", file=sys.stderr)
+        print(enc.stats.summary(), file=sys.stderr)
 
     if args.verify:
         from .utils import djxl
