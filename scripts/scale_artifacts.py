@@ -178,6 +178,27 @@ def main():
         f"sys.argv=['bench.py']; import bench; bench.device_plane()",
         timeout=900)
 
+    # BASELINE config 5 proper: >= 16384^2 through a REAL 2-process
+    # jax.distributed cluster on the virtual CPU mesh, byte-compared to
+    # the single-process streaming Encoder (scripts/config5_virtual.py).
+    # CPU-only -- no tunnel risk -- but several minutes of compute.
+    print("config 5 virtual 2-process mesh...", file=sys.stderr, flush=True)
+    dim5 = 4096 if args.quick else 16384
+    for attempt in range(2):
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts",
+                                          "config5_virtual.py"),
+             "--size", str(dim5), "--out", "/tmp/config5_virtual.json"],
+            text=True, capture_output=True, cwd=REPO)
+        if r.returncode == 0:
+            with open("/tmp/config5_virtual.json") as f:
+                results["config5_virtual"] = json.load(f)
+            break
+        print(f"  attempt {attempt}: rc={r.returncode}\n{r.stderr[-2000:]}",
+              file=sys.stderr, flush=True)
+    else:
+        results["config5_virtual"] = {"error": "all attempts failed"}
+
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))
