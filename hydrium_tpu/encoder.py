@@ -196,6 +196,22 @@ def _h2d_pool():
     return _H2D_POOL
 
 
+# dispatch-preparation pool (pxpack + upload + pipeline dispatch per LF
+# group, see _JaxDispatch._prepare).  Separate from _H2D_POOL: _prepare
+# blocks on futures it submits THERE, so sharing one pool could starve.
+_PREP_POOL = None
+
+
+def _prep_pool():
+    global _PREP_POOL
+    if _PREP_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _PREP_POOL = ThreadPoolExecutor(max_workers=2,
+                                        thread_name_prefix="hyd-prep")
+    return _PREP_POOL
+
+
 def _upload_pixels(px: np.ndarray):
     """Transfer an [H, W, 3] host array to the device, striping rows
     across concurrent puts when large enough to benefit."""
@@ -442,7 +458,8 @@ class _JaxDispatch:
                  "presets_dev", "cm_dev", "px", "_aux", "_words",
                  "_pf_thread", "_pf_ran", "_hist_folded", "tok_lut",
                  "lf_lut", "_codec", "stats", "_wide", "_tag", "_future",
-                 "_px_host", "_pxp_dev", "_ubuf")
+                 "_px_host", "_pxp_dev", "_ubuf", "will_pack",
+                 "_sample_fmt", "_cm_host", "_prep_future")
 
     # shapes whose content needed the wide residue executable
     _WIDE_HINT: dict = {}
@@ -487,17 +504,57 @@ class _JaxDispatch:
                            num_clusters=num_clusters, sample_kind=sample_fmt,
                            use_pallas=_pl_default(),
                            tok_classes=num_clusters // hf.num_presets)
-        self.presets_dev = jnp.full((bgcy * bgcx,), preset, jnp.int32)
-        self.cm_dev = jnp.asarray(hf.cluster_map)
+        # cluster map snapshot (host); device consts upload in _prepare
+        self._cm_host = hf.cluster_map
+        self.presets_dev = None
+        self.cm_dev = None
         ev = (stats.event if stats is not None
               else (lambda _n: __import__("contextlib").nullcontext()))
         self._ubuf = (ubuf_h, ubuf_w)
         self._px_host = px
         self._pxp_dev = None
         self.px = None
+        self.out = None
+        self.will_pack = bool(hf.use_native)
+        self._sample_fmt = sample_fmt
+        if hf.use_native:
+            from .jxl.tokcode import TokenCodec
+
+            if codec is None:
+                codec = TokenCodec()
+            self._codec = codec
+        else:
+            self._codec = None
+            self.tok_lut = None
+            self.lf_lut = None
+        self._aux = None
+        self._words = None
+        self._pf_thread = None
+        self._pf_ran = False
+        self._hist_folded = False
+        # pxpack + upload + pipeline dispatch run on a worker so the
+        # main thread returns in ~ms and the FIRST LF group's payload
+        # fetch is not delayed behind later groups' host bitpacking
+        # (measured ~20-30 ms/LFG of main-thread pxpack on 4K smooth).
+        # The host pixel copy above stays synchronous: callers may
+        # reuse their strip buffer right after send_tile returns.
+        self._prep_future = _prep_pool().submit(self._prepare, ev)
+
+    def _prepare(self, ev) -> None:
+        """Runs on the prep pool: bitpack pixels (or not), upload, and
+        dispatch the packed pipeline.  prefetch()/drain() join this
+        via join_prepare() before touching self.out/self.px."""
+        import jax.numpy as jnp
+
+        import jax.numpy as _j
+
+        bgcy, bgcx = self.buf_h >> 8, self.buf_w >> 8
+        self.presets_dev = _j.full((bgcy * bgcx,), self.preset, _j.int32)
+        self.cm_dev = _j.asarray(self._cm_host)
+        px = self._px_host
         pxp = None
-        if hf.use_native and _pxpack_on() and sample_fmt in ("uint8",
-                                                             "uint16"):
+        if self.will_pack and _pxpack_on() and self._sample_fmt in (
+                "uint8", "uint16"):
             from .jxl import native as _native
 
             with ev(f"pxpack[{self._tag}]"):
@@ -510,34 +567,24 @@ class _JaxDispatch:
             with ev(f"h2d[{self._tag}]"):
                 self._pxp_dev = (_upload_flat(wpad), jnp.asarray(hdr),
                                  jnp.asarray(basearr))
-            if stats is not None:
-                stats.count("pxpack_lfgs")
-                stats.count("pxpack_words", int(words.size))
+            if self.stats is not None:
+                self.stats.count("pxpack_lfgs")
+                self.stats.count("pxpack_words", int(words.size))
         else:
             with ev(f"h2d[{self._tag}]"):
                 self.px = _upload_pixels(px)
-        if hf.use_native:
-            from .jxl.tokcode import TokenCodec
-
-            if codec is None:
-                codec = TokenCodec()
-            self._codec = codec
+        if self.will_pack:
             # dispatch is async (jax returns futures); transfers start at
             # drain time.  NOTE: Array.copy_to_host_async() is broken on
             # the axon remote-TPU backend (the later host read deadlocks),
             # so early-start transfers are deliberately not used here.
             with ev(f"dispatch[{self._tag}]"):
                 self._dispatch()
-        else:
-            self.out = None
-            self._codec = None
-            self.tok_lut = None
-            self.lf_lut = None
-        self._aux = None
-        self._words = None
-        self._pf_thread = None
-        self._pf_ran = False
-        self._hist_folded = False
+
+    def join_prepare(self) -> None:
+        if self._prep_future is not None:
+            self._prep_future.result()
+            self._prep_future = None
 
     def _dispatch(self) -> None:
         """(Re)dispatch the packed pipeline with a snapshot of the
@@ -580,6 +627,18 @@ class _JaxDispatch:
               else (lambda _n: contextlib.nullcontext()))
 
         def run():
+            self.join_prepare()
+            # the semaphore keeps CONCURRENT multi-MB payload fetches
+            # from dividing the tunnel's aggregate bandwidth; payloads
+            # expected small (hint <= the speculative cap, 256 KB) are
+            # round-trip-latency-bound, not bandwidth-bound, so they
+            # fetch concurrently -- on smooth content this collapses
+            # four serialized ~30-110 ms round trips into one
+            hint = _JaxDispatch._NEED_HINT.get((self.buf_h, self.buf_w), 0)
+            if 0 < hint <= _SPEC_CAP_WORDS:
+                with ev(f"prefetch_io[{self._tag}]"):
+                    self.prefetch()
+                return
             with ev(f"sem_wait[{self._tag}]"):
                 sem.acquire()
             try:
@@ -686,6 +745,7 @@ class _JaxDispatch:
 
         stats = stats or self.stats
         stage = stats.stage if stats else (lambda _n: contextlib.nullcontext())
+        self.join_prepare()
         lfg = self.lfg
         bgcx = self.buf_w >> 8
         G = (self.buf_h >> 8) * bgcx
@@ -1292,7 +1352,7 @@ class Encoder:
             # (a semaphore serializes tunnel access across handles), so
             # device->host transfer of LFG i overlaps walk/serialize of
             # LFG i-1 and dispatch of LFG i+1
-            if handle.out is not None:
+            if handle.will_pack:
                 handle.start_prefetch(self._fetch_sem)
             # queue the walk (+ streaming ANS) on the ordered drain
             # worker: serialization of this LF group overlaps the NEXT
