@@ -163,15 +163,17 @@ def device_plane(iters: int = 50) -> dict:
         # warm: compile + pay the first-transfer penalty on a 1-iter run
         assert int(np.asarray(loop(px, presets, cm_d, lens_d, codes_d,
                                    n=1))) == 0
-        t0 = time.perf_counter()
-        assert int(np.asarray(loop(px, presets, cm_d, lens_d, codes_d,
-                                   n=1))) == 0
-        overhead = time.perf_counter() - t0   # dispatch + scalar readback
 
-        t0 = time.perf_counter()
-        assert int(np.asarray(loop(px, presets, cm_d, lens_d, codes_d,
-                                   n=iters))) == 0
-        total = time.perf_counter() - t0
+        def t(n):
+            t0 = time.perf_counter()
+            assert int(np.asarray(loop(px, presets, cm_d, lens_d,
+                                       codes_d, n=n))) == 0
+            return time.perf_counter() - t0
+
+        # min-of-3 on BOTH terms: one slow tunnel readback otherwise
+        # contaminates the subtraction
+        overhead = min(t(1) for _ in range(3))
+        total = min(t(iters) for _ in range(3))
         dt = max(total - overhead, 1e-9) / max(iters - 1, 1)
         out[name + "_mpix_s"] = round(2048 * 2048 / dt / 1e6, 1)
         out[name + "_ms_per_lfg"] = round(dt * 1e3, 3)

@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""On-chip breakdown of the packed pipeline's device time (the gap
+between the 4.3 ms unpacked front and the ~34 ms packed pipeline on a
+2048^2 LF group -- ARTIFACTS.json device_plane).
+
+Times each stage with the same on-device fori-loop trick bench.py's
+device_plane uses (host timing of async dispatches is meaningless over
+the axon tunnel).  Prints one JSON line of ms-per-LFG per stage.
+
+Usage: python scripts/pack_profile.py [iters]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def _t(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def main(iters: int = 30) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from hydrium_tpu.jxl.tokcode import TokenCodec
+    from hydrium_tpu.ops import tables
+    from hydrium_tpu.ops import pipeline as P
+
+    rng = np.random.default_rng(0)
+    h = w = 2048
+    base = 128 + 80 * np.sin(np.arange(w, dtype=np.float32) / 97.0)
+    img = np.clip(base[None, :, None]
+                  + rng.normal(0, 24, (h, w, 3)), 0, 255).astype(np.uint8)
+    cm = tables.hf_cluster_map(1)
+    lens, codes, _ = TokenCodec().tables()
+    px = jnp.asarray(img)
+    presets = jnp.zeros(64, jnp.int32)
+    cm_d = jnp.asarray(cm)
+    lens_d, codes_d = jnp.asarray(lens), jnp.asarray(codes)
+    kw = dict(buf_h=2048, buf_w=2048, linear_light=False, num_clusters=9,
+              sample_kind="uint8", use_pallas=False)
+
+    # representative token-stream shapes: F fields of ~geometric widths
+    F = 2048 * 2048 * 3  # one field per coefficient slot
+    widths = np.minimum(1 + rng.geometric(0.45, F), 12).astype(np.int32)
+    vals = (rng.integers(0, 1 << 30, F, dtype=np.int64)
+            & ((1 << widths.astype(np.int64)) - 1)).astype(np.uint32)
+    vals_d, widths_d = jnp.asarray(vals), jnp.asarray(widths)
+
+    out = {"metric": "packed-pipeline stage breakdown, 2048^2 LFG",
+           "unit": "ms", "backend": jax.default_backend(), "iters": iters}
+
+    def timeit(name, fn, *args):
+        # fn(carry, *args) MUST thread the carry into its inputs, so the
+        # loop body stays loop-carried (else XLA hoists it out and the
+        # measurement collapses to ~0); the sum-probe keeps the whole
+        # result live (element-0 probes let XLA dead-code the stage).
+        @jax.jit
+        def loop(n, *a):
+            def body(_i, carry):
+                r = fn(carry, *a)
+                probe = jnp.sum(r.astype(jnp.float32)).astype(jnp.uint32)
+                return (probe >> jnp.uint32(31)).astype(jnp.int32)
+            return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+        np.asarray(loop(1, *args))
+        # min-of-3 for both the overhead and the timed loop: a single
+        # slow tunnel readback otherwise contaminates the subtraction
+        overhead = min(_t(lambda: np.asarray(loop(1, *args)))
+                       for _ in range(3))
+        total = min(_t(lambda: np.asarray(loop(iters, *args)))
+                    for _ in range(3))
+        ms = max(total - overhead, 0.0) / max(iters - 1, 1) * 1e3
+        out[name + "_ms"] = round(ms, 3)
+        print(f"  {name}: {ms:.3f} ms", file=sys.stderr, flush=True)
+
+    # full packed pipeline and unpacked front, for reference
+    timeit("full_packed", lambda c, p: P.encode_lfg_packed(
+        p, 2048 + c, 2048, presets, cm_d, lens_d, codes_d,
+        **kw)["combined"], px)
+    timeit("front_unpacked", lambda c, p: P.encode_lfg(
+        p, 2048 + c, 2048, presets, cm_d, **kw)["tokens"], px)
+
+    # token-shaped bitpack: MXU one-hot form vs scatter form
+    TOK_OW = P.TOK_OW
+    timeit("tok_pack_mxu", lambda c, v, nb: P._bitpack_v3(
+        v ^ c.astype(jnp.uint32), nb, P.TOK_CHUNK, TOK_OW,
+        (F * 13) // 32, True, 12)[0], vals_d, widths_d)
+    timeit("tok_pack_scatter", lambda c, v, nb: P._bitpack_v3(
+        v ^ c.astype(jnp.uint32), nb, P.TOK_CHUNK, TOK_OW,
+        (F * 13) // 32, False, 12)[0], vals_d, widths_d)
+
+    # pack WITHOUT the final compaction: one-hot chunks only
+    def chunks_only(c, v, nb):
+        lanes, qbits = P._quad_fields(v ^ c.astype(jnp.uint32), nb, 12)
+        chunks, chunk_bits, _ok = P._onehot_pack_chunks(
+            lanes, qbits, P.TOK_CHUNK // 4, TOK_OW)
+        return chunks
+
+    timeit("tok_onehot_chunks", chunks_only, vals_d, widths_d)
+
+    def quads_only(c, v, nb):
+        lanes, qbits = P._quad_fields(v ^ c.astype(jnp.uint32), nb, 12)
+        return lanes[0]
+
+    timeit("tok_quad_fields", quads_only, vals_d, widths_d)
+
+    # residue-shaped pack (fast budget: 15-bit fields, 2048-slot chunks)
+    rw = np.minimum(widths, 10)
+    rv = vals & ((1 << rw.astype(np.int64)) - 1).astype(np.uint32)
+    timeit("res_pack_mxu", lambda c, v, nb: P._bitpack_v3(
+        v ^ c.astype(jnp.uint32), nb, P.RES_CHUNK, P.RES_OW_FAST,
+        (F // P.RES_CHUNK) * (P.RES_OW_FAST - P.RES_LANES_FAST), True,
+        P.RES_CAP_FAST)[0], jnp.asarray(rv), jnp.asarray(rw))
+
+    # token one-hot code lookup + per-class histogram (the MXU branch of
+    # encode_lfg_packed's transport coding)
+    t_idx = jnp.asarray((vals % 64).astype(np.int32))
+    cls9 = jnp.asarray((vals % 9).astype(np.int32))
+
+    def lookup(c, ti, cl):
+        ti = (ti + c) % 64
+        oh_tok = (ti[:, None] == jnp.arange(64, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.bfloat16)
+        oh_cls = (cl[:, None] == jnp.arange(9, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.bfloat16)
+        tab = jnp.ones((64, 27), jnp.bfloat16)
+        R_ = jnp.dot(oh_tok, tab, preferred_element_type=jnp.float32)
+        oh_f32 = oh_cls.astype(jnp.float32)
+        lo = jnp.sum(R_[:, :9] * oh_f32, axis=1)
+        hist = jnp.dot(oh_cls.T, oh_tok, preferred_element_type=jnp.float32)
+        return lo.astype(jnp.uint32) + hist.astype(jnp.uint32).sum()
+
+    timeit("tok_code_lookup_hist", lookup, t_idx, cls9)
+
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    it = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    main(it)
