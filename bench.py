@@ -83,6 +83,9 @@ def parent(iters: int) -> int:
                 if got.get("smooth_mpix_s", 0) > best.get("smooth_mpix_s", 0):
                     best.update({k: got[k] for k in
                                  ("smooth_mpix_s", "smooth_vs_baseline")})
+                if got.get("tiled_mpix_s", 0) > best.get("tiled_mpix_s", 0):
+                    best.update({k: got[k] for k in
+                                 ("tiled_mpix_s", "tiled_vs_baseline")})
             done += 1
             sane = (best["value"] >= 6.0
                     and best.get("smooth_mpix_s", 0) >= 20.0)
@@ -204,8 +207,9 @@ def device_plane(iters: int = 50) -> dict:
     return out
 
 
-def _measure(img, iters, label):
-    """Best-of-iters one-frame encode; returns (mpix_s, stats)."""
+def _measure(img, iters, label, tile_shift=-1):
+    """Best-of-iters encode (one-frame by default, tiled for
+    tile_shift >= 0); returns (mpix_s, stats)."""
     from hydrium_tpu.config import ImageMetadata, SampleFormat
     from hydrium_tpu.encoder import Encoder
 
@@ -214,15 +218,26 @@ def _measure(img, iters, label):
     data = b""
     stats = None
     for i in range(iters):
-        meta = ImageMetadata(width=img.shape[1], height=img.shape[0])
+        meta = ImageMetadata(width=img.shape[1], height=img.shape[0],
+                             tile_size_shift_x=tile_shift,
+                             tile_size_shift_y=tile_shift)
+        ts = 2048 if tile_shift < 0 else meta.tile_width
         enc = Encoder(meta, backend="jax")
         t0 = time.perf_counter()
         out = bytearray()
-        for ty in range((img.shape[0] + 2047) // 2048):
-            for tx in range((img.shape[1] + 2047) // 2048):
-                enc.send_tile(img[ty * 2048:(ty + 1) * 2048,
-                                  tx * 2048:(tx + 1) * 2048], tx, ty,
-                              sample_fmt=SampleFormat.UINT8)
+        for ty in range((img.shape[0] + ts - 1) // ts):
+            if tile_shift < 0:
+                for tx in range((img.shape[1] + ts - 1) // ts):
+                    enc.send_tile(img[ty * ts:(ty + 1) * ts,
+                                      tx * ts:(tx + 1) * ts], tx, ty,
+                                  sample_fmt=SampleFormat.UINT8)
+                    out.extend(enc.take_output())
+            else:
+                entries = [(img[ty * ts:(ty + 1) * ts,
+                                tx * ts:(tx + 1) * ts], tx, ty)
+                           for tx in range((img.shape[1] + ts - 1) // ts)]
+                enc.send_tile_batch(entries,
+                                    sample_fmt=SampleFormat.UINT8)
                 out.extend(enc.take_output())
         dt = time.perf_counter() - t0
         print(f"bench[{label}]: iter {i}: {dt:.2f}s "
@@ -263,6 +278,11 @@ def main():
     # noisy-size fetch buckets before the measured run
     encode_image(img, tile_size_shift=-1, backend="jax")
     mpps, _ = _measure(img, iters, "noisy")
+    # tiled mode (256^2 tiles-as-frames): the reference's DEFAULT and
+    # fastest mode, so this is the apples-to-apples headline row
+    encode_image(img, tile_size_shift=0, backend="jax")
+    tiled_mpps, _ = _measure(img, max(2, iters // 2), "tiled",
+                             tile_shift=0)
     print(json.dumps({
         "metric": "4K RGB8 one-frame encode throughput",
         "value": round(mpps, 3),
@@ -270,6 +290,8 @@ def main():
         "vs_baseline": round(mpps / BASELINE_MPPS, 2),
         "smooth_mpix_s": round(smooth_mpps, 3),
         "smooth_vs_baseline": round(smooth_mpps / BASELINE_SMOOTH_MPPS, 2),
+        "tiled_mpix_s": round(tiled_mpps, 3),
+        "tiled_vs_baseline": round(tiled_mpps / BASELINE_MPPS, 2),
     }))
 
 

@@ -925,6 +925,7 @@ class Encoder:
         self._emit_iter = None
         self._wrote_header = False
         self._finished = False
+        self._tb_units = []          # tiled-mode in-flight batch units
         self._codec = None
         if backend == "jax":
             import threading
@@ -996,6 +997,8 @@ class Encoder:
         if self.metadata.one_frame:
             self._send_tile_one_frame(pixels, tile_x, tile_y, is_last, fmt)
         else:
+            # deferred batch units must serialize BEFORE this tile
+            self._tb_drain_all(fmt)
             self._send_tile_tiled(pixels, tile_x, tile_y, is_last, fmt)
 
     def take_output(self) -> bytes:
@@ -1080,16 +1083,19 @@ class Encoder:
             tile_count_x=1 << m.tile_size_shift_x,
             tile_count_y=1 << m.tile_size_shift_y)
 
-    def _emit_tiled_frame(self, lfg: LFGroupGeometry, last: bool,
-                          lf_q, lf_res, hf) -> None:
+    def _render_tiled_frame(self, lfg: LFGroupGeometry, last: bool,
+                            lf_q, lf_res, hf,
+                            include_header: bool) -> bytes:
         """Serialize one tile-frame (header, LF sections, HF sections,
-        TOC) from an already-fed HF stream and append to the output."""
+        TOC) from an already-fed HF stream; returns the frame bytes.
+        Pure function of its arguments -- safe to run on a worker
+        thread (the per-frame ANS encode releases the GIL in C++)."""
         m = self.metadata
         geo = FrameGeometry(
             image_width=m.width, image_height=m.height, one_frame=False,
             lfg_count_x=1, lf_groups=[lfg], lfg_arrival=[0])
         main = new_bitwriter()
-        if not self._wrote_header:
+        if include_header:
             self._image_header(main)
         write_frame_header(main, geo, last)
         asm = _FrameAssembler(geo.num_frame_groups > 1)
@@ -1106,8 +1112,14 @@ class Encoder:
             asm.working.append_writer(gbw)
             asm.end_section()
         asm.write_toc_sizes(main)
-        self._out.extend(main.finalize())
-        self._out.extend(asm.working.finalize())
+        return bytes(main.finalize()) + bytes(asm.working.finalize())
+
+    def _emit_tiled_frame(self, lfg: LFGroupGeometry, last: bool,
+                          lf_q, lf_res, hf) -> None:
+        include_header = not self._wrote_header
+        data = self._render_tiled_frame(lfg, last, lf_q, lf_res, hf,
+                                        include_header)
+        self._out.extend(data)
         if last:
             self._finished = True
             if self.backend == "jax":
@@ -1138,6 +1150,8 @@ class Encoder:
         interact, so the per-group streams come back cleanly separable.
         Edge (clipped) tiles run individually.  entries: list of
         (pixels, tile_x, tile_y)."""
+        if self._finished:
+            raise RuntimeError("tile sent after the last tile")
         m = self.metadata
         fmt = sample_fmt.value
         from .jxl import native as _native
@@ -1166,122 +1180,184 @@ class Encoder:
                       # prediction restarts at every tile boundary
                       lf_seg_vb=th >> 3)
 
-        lfgs = []
-        for pixels, tx, ty in entries:
-            lfg = self._tile_geometry(tx, ty)
-            lfgs.append(lfg)
-            self.stats.pixels += lfg.height * lfg.width
+        # Order-preserving unit pipeline, kept in flight ACROSS calls
+        # (self._tb_units): consecutive runs of full-size tiles stack
+        # into chunk units (one dispatch + one threaded fetch each);
+        # clipped edge tiles become per-tile _JaxDispatch units whose
+        # small payloads fetch concurrently.  Each call drains all but
+        # a couple of trailing units, so strip r+1's upload/compute
+        # overlaps strip r's fetch/serialize -- the serialization order
+        # still exactly matches the send order (byte parity with the
+        # one-tile-at-a-time path).
+        import threading
 
-        full_idx = [i for i, g in enumerate(lfgs)
-                    if g.height == th and g.width == tw]
-        payloads: dict = {}
-
-        def dispatch_chunk(chunk):
-            """One dispatch; returns (chunk, px, out, lut) for fetching.
-            The decode LUT snapshots the table set this dispatch packed
-            with (the codec adapts between dispatches)."""
+        def dispatch_chunk(part):
+            """part: list of (pixels, tx, ty, lfg), all full-size.
+            Dispatches the stacked pipeline and starts a fetch worker."""
             px = np.zeros((K_stack * th, tw, 3),
-                          dtype=np.asarray(entries[0][0]).dtype)
-            for j, i in enumerate(chunk):
-                px[j * th:(j + 1) * th] = entries[i][0][:th, :tw]
+                          dtype=np.asarray(part[0][0]).dtype)
+            for j, (pixels, _tx, _ty, _g) in enumerate(part):
+                px[j * th:(j + 1) * th] = pixels[:th, :tw]
             lens, codes, lut = self._codec.tables()
+            bh = K_stack * th
             with self.stats.stage("dispatch"):
                 out = encode_lfg_packed(
-                    _upload_pixels(px), K_stack * th, tw,
-                    jnp.zeros(((K_stack * th >> 8) * gcx,), jnp.int32),
+                    _upload_pixels(px), bh, tw,
+                    jnp.zeros(((bh >> 8) * gcx,), jnp.int32),
                     cm_dev, jnp.asarray(lens), jnp.asarray(codes), **kwargs)
-            return chunk, px, out, lut, lens, codes
+            unit = {"kind": "chunk", "part": part, "px": px,
+                    "result": None}
 
-        # dispatch-ahead pipeline: chunk c+1's upload/compute overlaps
-        # chunk c's payload fetch (round-3 item: tiled-mode prefetch
-        # pipelining across batches)
-        inflight = []
-        chunks = [full_idx[c0:c0 + K_stack]
-                  for c0 in range(0, len(full_idx), K_stack)]
-        for ci in range(len(chunks) + 1):
-            if ci < len(chunks):
-                inflight.append(dispatch_chunk(chunks[ci]))
-            if len(inflight) <= (1 if ci < len(chunks) else 0):
-                continue
-            chunk, px, out, lut, lens, codes = inflight.pop(0)
-            stacked_geom = LFGroupGeometry(
-                x=0, y=0, width=tw, height=K_stack * th,
-                tile_count_x=gcx, tile_count_y=K_stack * th >> 8)
-            from .ops.pipeline import packed_aux_len
+            def fetch():
+                from .jxl.tokcode import LF_CLASS
 
-            A = packed_aux_len(K_stack * th, tw)
-            with self.stats.stage("fetch_aux"):
-                first = _fetch_prefix(out["combined"], A)
-            aux = np.ascontiguousarray(first[:A]).view(np.int32)
-            if int(aux[0]) == 2:
-                # dense residues: one retry with the wide executable
-                with self.stats.stage("dispatch"):
-                    out = encode_lfg_packed(
-                        jnp.asarray(px), K_stack * th, tw,
-                        jnp.zeros(((K_stack * th >> 8) * gcx,), jnp.int32),
-                        cm_dev, jnp.asarray(lens), jnp.asarray(codes),
-                        wide_residues=True, **kwargs)
-                self.stats.count("wide_retries")
-                with self.stats.stage("fetch_aux"):
-                    first = _fetch_prefix(out["combined"], A)
-                aux = np.ascontiguousarray(first[:A]).view(np.int32)
-            if not bool(aux[0] & 1):
-                self.stats.count("lfg_fallback")
-                for i in chunk:
-                    payloads[i] = None   # overflow: per-tile fallback
-                continue
-            need = packed_need_words(aux, K_stack * th, tw)
-            with self.stats.stage("fetch_streams"):
-                words = _fetch_range(out["combined"], A, need)
-            if not packed_verify(aux, words, K_stack * th, tw):
-                self.stats.count("checksum_errors")
-                for i in chunk:
-                    payloads[i] = None   # corrupt transfer: per-tile path
-                continue
-            from .jxl.tokcode import LF_CLASS
+                nonlocal out
+                try:
+                    hint = _JaxDispatch._NEED_HINT.get((bh, tw), 0)
+                    with self.stats.event("tb_fetch"):
+                        aux, words = fetch_packed_payload(
+                            out["combined"], bh, tw, stats=self.stats,
+                            hint_words=hint)
+                    if aux is not None and int(aux[0]) == 2:
+                        # dense residues: one retry, wide executable
+                        with self.stats.stage("dispatch"):
+                            out = encode_lfg_packed(
+                                jnp.asarray(px), bh, tw,
+                                jnp.zeros(((bh >> 8) * gcx,), jnp.int32),
+                                cm_dev, jnp.asarray(lens),
+                                jnp.asarray(codes),
+                                wide_residues=True, **kwargs)
+                        self.stats.count("wide_retries")
+                        with self.stats.event("tb_fetch"):
+                            aux, words = fetch_packed_payload(
+                                out["combined"], bh, tw, stats=self.stats)
+                    if (aux is None or words is None
+                            or not bool(aux[0] & 1)
+                            or not packed_verify(aux, words, bh, tw)):
+                        self.stats.count("lfg_fallback")
+                        return
+                    if words is not None:
+                        _JaxDispatch._NEED_HINT[(bh, tw)] = \
+                            packed_need_words(aux, bh, tw)
+                    self._codec.update(aux[8:648])
+                    stacked_geom = LFGroupGeometry(
+                        x=0, y=0, width=tw, height=bh,
+                        tile_count_x=gcx, tile_count_y=bh >> 8)
+                    parsed = _parse_packed(aux, words, bh, tw,
+                                           stacked_geom, lut[LF_CLASS])
+                    if parsed is None:
+                        self.stats.count("checksum_errors")
+                        return
+                    self.stats.count("lfg_packed")
+                    unit["result"] = (parsed, lut)
+                except Exception as e:   # tunnel failure -> per-tile path
+                    self.stats.count("prefetch_errors")
+                    self.stats.last_error = f"tiled fetch: {e!r}"
 
-            self._codec.update(aux[8:648])
-            parsed = _parse_packed(aux, words, K_stack * th, tw,
-                                   stacked_geom, lut[LF_CLASS])
-            if parsed is None:
-                self.stats.count("checksum_errors")
-                for i in chunk:
-                    payloads[i] = None   # corrupt LF stream: per-tile path
-                continue
-            self.stats.count("lfg_packed")
-            for j, i in enumerate(chunk):
-                g0 = j * gpt
-                g1 = g0 + gpt
-                lf0 = j * (th >> 3)
-                payloads[i] = {
-                    "lf_res": parsed["lf_res"][lf0:lf0 + (th >> 3)],
-                    "gs": parsed["gs"][g0:g1],
-                    "tok_off": parsed["tok_off"][g0:g1],
-                    "res_off": parsed["res_off"][g0:g1],
-                    "tok_words": parsed["tok_words"],
-                    "res_words": parsed["res_words"],
-                    # HF walker rows only: the class modulus is derived
-                    # from the LUT row count and must equal tok_classes
-                    "lut": lut[:kwargs["tok_classes"]],
-                }
+            t = threading.Thread(target=fetch, daemon=True)
+            unit["thread"] = t
+            t.start()
+            return unit
 
-        # serialize all tiles in entry order
-        for i, (pixels, tx, ty) in enumerate(entries):
-            if self._finished:
-                raise RuntimeError("tile sent after the last tile")
-            lfg = lfgs[i]
-            p = payloads.get(i, "single")
-            if p is None or p == "single":
-                self._send_tile_tiled(pixels, tx, ty, -1, fmt)
-                continue
-            last = self._tile_is_last(tx, ty, tw, th, -1)
+        run = []
+        for pixels, tx, ty in entries:
+            lfg = self._tile_geometry(tx, ty)
+            self.stats.pixels += lfg.height * lfg.width
+            if lfg.height == th and lfg.width == tw:
+                run.append((pixels, tx, ty, lfg))
+                if len(run) == K_stack:
+                    self._tb_units.append(dispatch_chunk(run))
+                    run = []
+            else:
+                if run:
+                    self._tb_units.append(dispatch_chunk(run))
+                    run = []
+                hf = HFStream(1)
+                handle = _JaxDispatch(pixels, fmt, m.linear_light, lfg,
+                                      0, hf, codec=self._codec,
+                                      stats=self.stats)
+                if handle.will_pack:
+                    handle.start_prefetch(self._fetch_sem)
+                self._tb_units.append({"kind": "edge", "handle": handle,
+                                       "hf": hf, "lfg": lfg,
+                                       "tx": tx, "ty": ty})
+        if run:
+            self._tb_units.append(dispatch_chunk(run))
+
+        contains_last = any(self._tile_is_last(tx, ty, tw, th, -1)
+                            for _p, tx, ty in entries)
+        keep = 0 if contains_last else 2
+        while len(self._tb_units) > keep:
+            self._tb_drain_unit(self._tb_units.pop(0), fmt)
+
+    def _tb_drain_unit(self, unit, fmt: str) -> None:
+        """Serialize one tiled-mode unit (tiles emit in send order)."""
+        m = self.metadata
+        tw, th = m.tile_width, m.tile_height
+        if unit["kind"] == "edge":
+            handle, hf, lfg = unit["handle"], unit["hf"], unit["lfg"]
+            last = self._tile_is_last(unit["tx"], unit["ty"], tw, th, -1)
+            with self.stats.stage("pipeline+transfer"):
+                lf_q, lf_res = handle.drain(hf, self.stats)
+            self._emit_tiled_frame(lfg, last, lf_q, lf_res, hf)
+            return
+        unit["thread"].join()
+        gpt = (th >> 8) * (tw >> 8)
+        px = unit["px"]
+        if unit["result"] is None:
+            # overflow / corrupt / tunnel failure: per-tile fallback
+            for j, (_pixels, tx, ty, _g) in enumerate(unit["part"]):
+                self._send_tile_tiled(px[j * th:(j + 1) * th], tx, ty,
+                                      -1, fmt)
+            return
+        parsed, lut = unit["result"]
+
+        def render(j, lfg, last, include_header):
+            g0, g1 = j * gpt, (j + 1) * gpt
+            lf0 = j * (th >> 3)
             hf = HFStream(1)
             with self.stats.stage("walk"):
-                hf.add_lfg_packed(p["tok_words"], p["res_words"], p["lut"],
-                                  0, (th >> 8, tw >> 8),
+                # HF walker rows only: the class modulus is derived
+                # from the LUT row count and must equal tok_classes (9)
+                hf.add_lfg_packed(parsed["tok_words"], parsed["res_words"],
+                                  lut[:9], 0, (th >> 8, tw >> 8),
                                   (th >> 3, tw >> 3),
-                                  p["tok_off"], p["res_off"], p["gs"])
-            self._emit_tiled_frame(lfg, last, None, p["lf_res"], hf)
+                                  parsed["tok_off"][g0:g1],
+                                  parsed["res_off"][g0:g1],
+                                  parsed["gs"][g0:g1])
+            return self._render_tiled_frame(
+                lfg, last, None, parsed["lf_res"][lf0:lf0 + (th >> 3)],
+                hf, include_header)
+
+        # per-tile walk + ANS + frame serialization run in parallel
+        # (the walker and ANS encoder release the GIL in C++); frames
+        # are appended strictly in send order
+        pool = self._tb_pool()
+        futs = []
+        for j, (_pixels, tx, ty, lfg) in enumerate(unit["part"]):
+            last = self._tile_is_last(tx, ty, tw, th, -1)
+            include_header = not self._wrote_header
+            self._wrote_header = True   # decided in submit order
+            futs.append((pool.submit(render, j, lfg, last,
+                                     include_header), last))
+        for f, last in futs:
+            self._out.extend(f.result())
+            if last:
+                self._finished = True
+                if self.backend == "jax":
+                    _save_warm_state()
+
+    def _tb_pool(self):
+        if getattr(self, "_tb_pool_", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._tb_pool_ = ThreadPoolExecutor(
+                max_workers=4, thread_name_prefix="hyd-tile")
+        return self._tb_pool_
+
+    def _tb_drain_all(self, fmt: str) -> None:
+        while self._tb_units:
+            self._tb_drain_unit(self._tb_units.pop(0), fmt)
 
     # -- one-frame mode -------------------------------------------------
 
