@@ -196,3 +196,57 @@ def test_buffered_encoder_push_model():
         be2.pump()
     with pytest.raises(ValueError):
         be2.provide_output_buffer(bytearray(0))
+
+
+def test_tiled_batch_deferred_ordering_parity():
+    """send_tile_batch keeps stacked chunks in flight across calls and
+    serializes per-tile frames on a worker pool; the output bytes must
+    still exactly equal the strictly-sequential send_tile path, for
+    every mix of batch sizes, edge tiles, and interleaved single
+    sends."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (520, 1230, 3), dtype=np.uint8)  # clipped edges
+    th = tw = 256
+
+    def tiles():
+        for ty in range((img.shape[0] + th - 1) // th):
+            for tx in range((img.shape[1] + tw - 1) // tw):
+                yield (img[ty*th:(ty+1)*th, tx*tw:(tx+1)*tw], tx, ty)
+
+    meta = ImageMetadata(width=img.shape[1], height=img.shape[0],
+                         tile_size_shift_x=0, tile_size_shift_y=0)
+    ref_enc = Encoder(meta, backend="jax")
+    ref_out = bytearray()
+    for pixels, tx, ty in tiles():
+        ref_enc.send_tile(pixels, tx, ty, sample_fmt=SampleFormat.UINT8)
+        ref_out.extend(ref_enc.take_output())
+
+    # per-row batches (full rows + a clipped-edge row)
+    meta2 = ImageMetadata(width=img.shape[1], height=img.shape[0],
+                          tile_size_shift_x=0, tile_size_shift_y=0)
+    enc2 = Encoder(meta2, backend="jax")
+    out2 = bytearray()
+    rows = {}
+    for e in tiles():
+        rows.setdefault(e[2], []).append(e)
+    for ty in sorted(rows):
+        enc2.send_tile_batch(rows[ty], sample_fmt=SampleFormat.UINT8)
+        out2.extend(enc2.take_output())
+    assert bytes(out2) == bytes(ref_out)
+
+    # batch call interleaved with a single send_tile (forces the
+    # deferred-unit flush) and an odd split mid-row
+    meta3 = ImageMetadata(width=img.shape[1], height=img.shape[0],
+                          tile_size_shift_x=0, tile_size_shift_y=0)
+    enc3 = Encoder(meta3, backend="jax")
+    out3 = bytearray()
+    all_tiles = list(tiles())
+    enc3.send_tile_batch(all_tiles[:3], sample_fmt=SampleFormat.UINT8)
+    px, tx, ty = all_tiles[3]
+    enc3.send_tile(px, tx, ty, sample_fmt=SampleFormat.UINT8)
+    enc3.send_tile_batch(all_tiles[4:], sample_fmt=SampleFormat.UINT8)
+    out3.extend(enc3.take_output())
+    assert bytes(out3) == bytes(ref_out)
+
+    dec = djxl.decode(bytes(ref_out))
+    assert dec.shape == img.shape
