@@ -546,11 +546,9 @@ class _JaxDispatch:
         via join_prepare() before touching self.out/self.px."""
         import jax.numpy as jnp
 
-        import jax.numpy as _j
-
         bgcy, bgcx = self.buf_h >> 8, self.buf_w >> 8
-        self.presets_dev = _j.full((bgcy * bgcx,), self.preset, _j.int32)
-        self.cm_dev = _j.asarray(self._cm_host)
+        self.presets_dev = jnp.full((bgcy * bgcx,), self.preset, jnp.int32)
+        self.cm_dev = jnp.asarray(self._cm_host)
         px = self._px_host
         pxp = None
         if self.will_pack and _pxpack_on() and self._sample_fmt in (
@@ -1205,32 +1203,53 @@ class Encoder:
                     _upload_pixels(px), bh, tw,
                     jnp.zeros(((bh >> 8) * gcx,), jnp.int32),
                     cm_dev, jnp.asarray(lens), jnp.asarray(codes), **kwargs)
-            unit = {"kind": "chunk", "part": part, "px": px,
-                    "result": None}
+            unit = {"kind": "chunk", "px": px, "result": None,
+                    # metas only -- the caller's pixel views are already
+                    # copied into px; retaining them would pin whole
+                    # input strips for the unit's deferred lifetime
+                    "metas": [(tx, ty, lfg) for _p, tx, ty, lfg in part],
+                    "tok_classes": kwargs["tok_classes"]}
 
             def fetch():
                 from .jxl.tokcode import LF_CLASS
 
                 nonlocal out
                 try:
-                    hint = _JaxDispatch._NEED_HINT.get((bh, tw), 0)
-                    with self.stats.event("tb_fetch"):
-                        aux, words = fetch_packed_payload(
-                            out["combined"], bh, tw, stats=self.stats,
-                            hint_words=hint)
-                    if aux is not None and int(aux[0]) == 2:
-                        # dense residues: one retry, wide executable
-                        with self.stats.stage("dispatch"):
-                            out = encode_lfg_packed(
-                                jnp.asarray(px), bh, tw,
-                                jnp.zeros(((bh >> 8) * gcx,), jnp.int32),
-                                cm_dev, jnp.asarray(lens),
-                                jnp.asarray(codes),
-                                wide_residues=True, **kwargs)
-                        self.stats.count("wide_retries")
+                    # the tunnel semaphore serializes multi-MB payload
+                    # fetches (a stacked chunk is well above the small-
+                    # payload threshold); mirrors _JaxDispatch.prefetch
+                    with self._fetch_sem:
+                        hint = _JaxDispatch._NEED_HINT.get((bh, tw), 0)
                         with self.stats.event("tb_fetch"):
                             aux, words = fetch_packed_payload(
-                                out["combined"], bh, tw, stats=self.stats)
+                                out["combined"], bh, tw, stats=self.stats,
+                                hint_words=hint)
+                        if aux is not None and int(aux[0]) == 2:
+                            # dense residues: one retry, wide executable
+                            with self.stats.stage("dispatch"):
+                                out = encode_lfg_packed(
+                                    jnp.asarray(px), bh, tw,
+                                    jnp.zeros(((bh >> 8) * gcx,),
+                                              jnp.int32),
+                                    cm_dev, jnp.asarray(lens),
+                                    jnp.asarray(codes),
+                                    wide_residues=True, **kwargs)
+                            self.stats.count("wide_retries")
+                            with self.stats.event("tb_fetch"):
+                                aux, words = fetch_packed_payload(
+                                    out["combined"], bh, tw,
+                                    stats=self.stats)
+                        if (aux is not None and words is not None
+                                and bool(aux[0] & 1)
+                                and not packed_verify(aux, words, bh, tw)):
+                            # corrupt transfer: one refetch before the
+                            # per-tile fallback (same policy as
+                            # _JaxDispatch.prefetch)
+                            self.stats.count("checksum_errors")
+                            with self.stats.event("tb_fetch"):
+                                aux, words = fetch_packed_payload(
+                                    out["combined"], bh, tw,
+                                    stats=self.stats)
                     if (aux is None or words is None
                             or not bool(aux[0] & 1)
                             or not packed_verify(aux, words, bh, tw)):
@@ -1295,8 +1314,15 @@ class Encoder:
         m = self.metadata
         tw, th = m.tile_width, m.tile_height
         if unit["kind"] == "edge":
+            if self._finished:
+                raise RuntimeError("tile sent after the last tile")
             handle, hf, lfg = unit["handle"], unit["hf"], unit["lfg"]
             last = self._tile_is_last(unit["tx"], unit["ty"], tw, th, -1)
+            # join the prefetch daemon BEFORE drain (exactly like the
+            # one-frame _drain_work): drain() racing a mid-flight
+            # prefetch could double-run the cold-codec bootstrap or see
+            # _aux published before _words
+            handle.join_prefetch()
             with self.stats.stage("pipeline+transfer"):
                 lf_q, lf_res = handle.drain(hf, self.stats)
             self._emit_tiled_frame(lfg, last, lf_q, lf_res, hf)
@@ -1306,7 +1332,9 @@ class Encoder:
         px = unit["px"]
         if unit["result"] is None:
             # overflow / corrupt / tunnel failure: per-tile fallback
-            for j, (_pixels, tx, ty, _g) in enumerate(unit["part"]):
+            for j, (tx, ty, _g) in enumerate(unit["metas"]):
+                if self._finished:
+                    raise RuntimeError("tile sent after the last tile")
                 self._send_tile_tiled(px[j * th:(j + 1) * th], tx, ty,
                                       -1, fmt)
             return
@@ -1318,9 +1346,11 @@ class Encoder:
             hf = HFStream(1)
             with self.stats.stage("walk"):
                 # HF walker rows only: the class modulus is derived
-                # from the LUT row count and must equal tok_classes (9)
+                # from the LUT row count and must equal the dispatch's
+                # tok_classes (CLAUDE.md LUT-slicing invariant)
                 hf.add_lfg_packed(parsed["tok_words"], parsed["res_words"],
-                                  lut[:9], 0, (th >> 8, tw >> 8),
+                                  lut[:unit["tok_classes"]], 0,
+                                  (th >> 8, tw >> 8),
                                   (th >> 3, tw >> 3),
                                   parsed["tok_off"][g0:g1],
                                   parsed["res_off"][g0:g1],
@@ -1334,18 +1364,20 @@ class Encoder:
         # are appended strictly in send order
         pool = self._tb_pool()
         futs = []
-        for j, (_pixels, tx, ty, lfg) in enumerate(unit["part"]):
+        for j, (tx, ty, lfg) in enumerate(unit["metas"]):
+            if self._finished:
+                raise RuntimeError("tile sent after the last tile")
             last = self._tile_is_last(tx, ty, tw, th, -1)
             include_header = not self._wrote_header
             self._wrote_header = True   # decided in submit order
             futs.append((pool.submit(render, j, lfg, last,
                                      include_header), last))
-        for f, last in futs:
-            self._out.extend(f.result())
             if last:
                 self._finished = True
-                if self.backend == "jax":
-                    _save_warm_state()
+        for f, last in futs:
+            self._out.extend(f.result())
+            if last and self.backend == "jax":
+                _save_warm_state()
 
     def _tb_pool(self):
         if getattr(self, "_tb_pool_", None) is None:

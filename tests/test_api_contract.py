@@ -250,3 +250,17 @@ def test_tiled_batch_deferred_ordering_parity():
 
     dec = djxl.decode(bytes(ref_out))
     assert dec.shape == img.shape
+
+
+def test_tiled_batch_rejects_tiles_after_last():
+    """Frames after the is_last frame would make the stream invalid;
+    the batch path must raise exactly like the per-tile path."""
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 255, (256, 512, 3), dtype=np.uint8)
+    meta = ImageMetadata(width=512, height=256,
+                         tile_size_shift_x=0, tile_size_shift_y=0)
+    enc = Encoder(meta, backend="jax")
+    # bottom-right (last) tile FIRST, then another tile in one batch
+    entries = [(img[:, 256:512], 1, 0), (img[:, 0:256], 0, 0)]
+    with pytest.raises(RuntimeError):
+        enc.send_tile_batch(entries, sample_fmt=SampleFormat.UINT8)
