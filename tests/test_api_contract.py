@@ -264,3 +264,44 @@ def test_tiled_batch_rejects_tiles_after_last():
     entries = [(img[:, 256:512], 1, 0), (img[:, 0:256], 0, 0)]
     with pytest.raises(RuntimeError):
         enc.send_tile_batch(entries, sample_fmt=SampleFormat.UINT8)
+
+
+def test_tiled_batch_fetch_failure_falls_back_per_tile(monkeypatch):
+    """A chunk whose payload fetch fails (tunnel corruption/exception)
+    must transparently fall back to the per-tile path with identical
+    output bytes."""
+    import hydrium_tpu.encoder as enc_mod
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 255, (256, 1024, 3), dtype=np.uint8)
+
+    meta = ImageMetadata(width=1024, height=256,
+                         tile_size_shift_x=0, tile_size_shift_y=0)
+    ref_enc = Encoder(meta, backend="jax")
+    ref_out = bytearray()
+    for tx in range(4):
+        ref_enc.send_tile(img[:, tx*256:(tx+1)*256], tx, 0,
+                          sample_fmt=SampleFormat.UINT8)
+        ref_out.extend(ref_enc.take_output())
+
+    real_fetch = enc_mod.fetch_packed_payload
+    calls = {"n": 0}
+
+    def flaky(combined, bh, bw, stats=None, hint_words=0):
+        calls["n"] += 1
+        if calls["n"] == 1 and bh > 256:   # the stacked-chunk fetch
+            raise RuntimeError("injected tunnel failure")
+        return real_fetch(combined, bh, bw, stats=stats,
+                          hint_words=hint_words)
+
+    monkeypatch.setattr(enc_mod, "fetch_packed_payload", flaky)
+    meta2 = ImageMetadata(width=1024, height=256,
+                          tile_size_shift_x=0, tile_size_shift_y=0)
+    enc2 = Encoder(meta2, backend="jax")
+    enc2.send_tile_batch([(img[:, tx*256:(tx+1)*256], tx, 0)
+                          for tx in range(4)],
+                         sample_fmt=SampleFormat.UINT8)
+    out2 = enc2.take_output()
+    assert calls["n"] >= 1
+    assert enc2.stats.counters.get("prefetch_errors", 0) >= 1
+    assert bytes(out2) == bytes(ref_out)
