@@ -38,6 +38,7 @@ quantization decisions stay aligned.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict, Tuple
 
@@ -798,11 +799,27 @@ def _bitpack_v3(values: jnp.ndarray, nbits: jnp.ndarray, ch: int, ow: int,
 
     The MXU form pre-combines quads of adjacent fields (bounded by
     max_field_bits each) so the one-hot pack sees 4x fewer, wider
-    fields; ch must be a multiple of 4."""
+    fields; ch must be a multiple of 4.
+
+    On real TPU hardware the chunk pack runs as the VMEM-resident
+    Mosaic merge-tree kernel (ops/pallas/bitpack.py: measured 2.4x the
+    one-hot form's speed, bit-identical -- tests/test_pallas_bitpack
+    and the on-chip check in scripts/pack_profile.py); HYDRIUM_PLPACK=0
+    falls back to the one-hot form."""
     if use_mxu:
         lanes, qbits = _quad_fields(values, nbits, max_field_bits)
-        chunks, chunk_bits, _ok = _onehot_pack_chunks(lanes, qbits,
-                                                      ch // 4, ow)
+        # gate on the REAL device platform, not jax.default_backend():
+        # the MXU-branch property tests monkeypatch default_backend on
+        # CPU, where Mosaic cannot compile (test_pipeline_jax)
+        if (jax.devices()[0].platform == "tpu"
+                and os.environ.get("HYDRIUM_PLPACK", "1") != "0"):
+            from .pallas.bitpack import merge_pack_chunks
+
+            chunks, chunk_bits = merge_pack_chunks(lanes, qbits, ch, ow,
+                                                   max_field_bits)
+        else:
+            chunks, chunk_bits, _ok = _onehot_pack_chunks(lanes, qbits,
+                                                          ch // 4, ow)
         nw = (chunk_bits + 31) >> 5
         words = _overwrite_compact(chunks, nw, num_words)
     else:
