@@ -84,13 +84,17 @@ def _oct_fields(lanes, qbits: jnp.ndarray, cap: int):
     def rlane(j):
         return ro[j] if 0 <= j < Lq else z
 
+    # w = bl >> 5 is bounded by the LEFT quad's bits (<= 4*cap), far
+    # tighter than the oct lane count; fields beyond cap produce
+    # garbage words by contract (the caller's ok flag rejects them)
+    max_wv = ((cap * 4) >> 5) + 1
     out = []
     for j in range(Lo):
         acc = le[j] if j < Lq else z
-        # right quad shifted by bl bits: word part w in [0, Lo-1],
-        # bit part b; lane j receives rlane(j - w) << b | carry
+        # right quad shifted by bl bits: word part w, bit part b;
+        # lane j receives rlane(j - w) << b | carry
         rs = z
-        for wv in range(Lo):
+        for wv in range(min(Lo, max_wv)):
             hit = (w == wv)
             lo = rlane(j - wv) << b
             hi = jnp.where(b > 0, rlane(j - wv - 1) >> inv, z)
