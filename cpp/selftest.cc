@@ -257,6 +257,33 @@ static void test_lf_decode() {
       exit(1);
     }
   printf("lf decode ok\n");
+
+  // Corrupt streams must return -1 WITHOUT reading past the buffer's
+  // one slack word (ADVICE r3: the old between-fields-only guard let a
+  // mid-field advance dereference past the fetched words; ASAN verifies
+  // the exact-size allocations here).
+  {
+    // every LUT entry: token 62 (rb = 26), code length 6 -> each field
+    // is exactly 32 bits
+    std::vector<uint16_t> lut62(4096, (uint16_t)(62 | (6 << 8)));
+    // exactly 1 payload word + 1 slack word; claim 2 fields in 32 bits:
+    // field 1 consumes all of max_bits, field 2 starts AT max_bits (the
+    // old `>` check admitted it and peek12 read words[2])
+    std::vector<uint32_t> tight{0x5A5A5A5Au, 0u};
+    uint32_t o2[2] = {0, 0};
+    if (hyd_lf_decode(tight.data(), lut62.data(), 2, 32, o2) != -1) {
+      fprintf(stderr, "lf decode: field at max_bits not rejected\n");
+      exit(1);
+    }
+    // mid-field overrun: max_bits 20 but the first field needs 32 bits
+    // (code 6 + residue 26) -- must reject BEFORE read() runs off
+    std::vector<uint32_t> tiny{0x12345678u, 0u};
+    if (hyd_lf_decode(tiny.data(), lut62.data(), 1, 20, o2) != -1) {
+      fprintf(stderr, "lf decode: mid-field overrun not rejected\n");
+      exit(1);
+    }
+  }
+  printf("lf decode corrupt ok\n");
 }
 
 static void test_px_pack() {

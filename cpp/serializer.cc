@@ -1042,11 +1042,22 @@ long hyd_lf_decode(const uint32_t* words, const uint16_t* lut, long lf_n,
                    long max_bits, uint32_t* out) {
   BitReader br{words, 0};
   for (long i = 0; i < lf_n; i++) {
-    if (br.bitpos > (size_t)max_bits) return -1;
+    // strict: every remaining field needs >= 1 code bit, so a valid
+    // stream never enters an iteration at/past max_bits.  Keeps peek12
+    // within the buffer's one guaranteed slack word (BitReader contract
+    // above): bitpos <= max_bits-1 touches word index at most
+    // ceil(max_bits/32), the slack word.
+    if (br.bitpos >= (size_t)max_bits) return -1;
     uint16_t e = lut[br.peek12()];
     uint32_t tok = e & 0xFF;
     br.bitpos += e >> 8;
     int rb = tok < 16 ? 0 : (int)((tok - 16) >> 1) + 3;
+    // mid-field guard: a corrupt stream can push the cursor past
+    // max_bits via the code length or residue width; checking only
+    // between fields let read() dereference past the fetched buffer
+    // (the whole field must fit for read's word+1 access to stay
+    // within the slack word)
+    if (br.bitpos + (size_t)rb > (size_t)max_bits) return -1;
     uint32_t res = br.read(rb);
     out[i] = tok < 16 ? tok : ((2u | ((tok - 16) & 1)) << rb) | res;
   }

@@ -816,26 +816,36 @@ class _SectionSpool:
     the streaming finalize path: only section *sizes* stay in RAM, the
     bytes stream back out at emission time.
 
-    Each spool owns a unique temp subdirectory of spool_dir (removed on
-    GC), so concurrent encoders -- e.g. multi-host processes pointed at
-    one shared scratch dir -- can never overwrite each other's section
+    Each spool owns a unique temp subdirectory of spool_dir (removed by
+    close() once the finalize stream has been emitted, with a
+    weakref.finalize backstop for GC/crash/interpreter exit), so
+    concurrent encoders -- e.g. multi-host processes pointed at one
+    shared scratch dir -- can never overwrite each other's section
     files (that collision silently corrupted output before)."""
 
     def __init__(self, spool_dir: Optional[str]) -> None:
         self.dir = None
+        self._cleanup = None
         if spool_dir is not None:
+            import shutil
             import tempfile
+            import weakref
 
             self.dir = tempfile.mkdtemp(prefix="hydspool-", dir=spool_dir)
+            # weakref.finalize (not __del__): runs at GC, at interpreter
+            # exit via its atexit hook, and survives reference cycles;
+            # close() triggers it explicitly once the finalize stream
+            # has been emitted (ADVICE r3)
+            self._cleanup = weakref.finalize(self, shutil.rmtree,
+                                             self.dir, True)
         self._count = 0
         self.items: List = []    # (data|path, tail_val, tail_bits, nbytes)
 
-    def __del__(self):
-        d = getattr(self, "dir", None)
-        if d is not None:
-            import shutil
-
-            shutil.rmtree(d, ignore_errors=True)
+    def close(self) -> None:
+        """Remove the spool directory now (idempotent; otherwise runs
+        via weakref.finalize at GC or interpreter exit)."""
+        if self._cleanup is not None:
+            self._cleanup()
 
     def add_raw(self, raw) -> None:
         data, tail_val, tail_bits = raw
@@ -1039,6 +1049,18 @@ class Encoder:
     @property
     def finished(self) -> bool:
         return self._finished
+
+    def close(self) -> None:
+        """Drop spool-backed temp files immediately.  For ABANDONED
+        encodes: a drained `iter_output`/`take_output` already cleans
+        up, and weakref.finalize covers GC/interpreter exit.  Pending
+        undelivered output becomes unreadable after this."""
+        spool = getattr(self, "_lf_spool", None)
+        if spool is not None:
+            spool.close()
+        hf = getattr(self, "_hf", None)
+        if hf is not None and hasattr(hf, "close"):
+            hf.close()
 
     # -- common ---------------------------------------------------------
 
@@ -1549,6 +1571,11 @@ class Encoder:
                     yield data
                     if tail_bits:
                         yield bytes([tail_val & 0xFF])
+                # everything spooled has been emitted: drop the temp
+                # dirs now instead of waiting for GC (their
+                # weakref.finalize remains the crash/abandon backstop)
+                spool.close()
+                hf.close()
 
             self._emit_iter = emit()
             self._finished = True
@@ -1623,8 +1650,11 @@ class BufferedEncoder:
         view = memoryview(buf).cast("B")
         if view.readonly:
             raise ValueError("output buffer must be writable")
-        if len(view) == 0:
-            raise ValueError("output buffer must be non-empty")
+        if len(view) < 64:
+            # reference parity: hyd_provide_output_buffer rejects
+            # buffers under 64 bytes (libhydrium.c); tiny buffers would
+            # also degenerate _drain into a byte-at-a-time loop
+            raise ValueError("output buffer must be at least 64 bytes")
         self._buf = view
         self._pos = 0
 

@@ -425,11 +425,19 @@ class StreamingHFStream:
         # sharing one scratch dir (multi-host processes) must never
         # overwrite each other's section files
         self._spool_dir = None
+        self._cleanup = None
         if spool_dir is not None:
+            import shutil
             import tempfile
+            import weakref
 
             self._spool_dir = tempfile.mkdtemp(prefix="hydspool-",
                                                dir=spool_dir)
+            # weakref.finalize (not __del__): runs at GC, at interpreter
+            # exit via its atexit hook, and survives reference cycles;
+            # close() triggers it explicitly at stream end (ADVICE r3)
+            self._cleanup = weakref.finalize(self, shutil.rmtree,
+                                             self._spool_dir, True)
         # per-group encoded sections keyed by GLOBAL arrival order: when
         # lfg_per_preset > 1 and tiles arrive out of order, presets can
         # flush out of arrival order, but the TOC permutation assumes
@@ -445,12 +453,11 @@ class StreamingHFStream:
         self._global_arrival = 0
         self._spool_count = 0
 
-    def __del__(self):
-        d = getattr(self, "_spool_dir", None)
-        if d is not None:
-            import shutil
-
-            shutil.rmtree(d, ignore_errors=True)
+    def close(self) -> None:
+        """Remove the spool directory now (idempotent; otherwise runs
+        via weakref.finalize at GC or interpreter exit)."""
+        if self._cleanup is not None:
+            self._cleanup()
 
     def _preset_hf(self, preset: int) -> native.NativeHF:
         hf = self._per_preset.get(preset)

@@ -130,9 +130,15 @@ class TokenCodec:
     only costs compression until adaptation catches up, never
     correctness, so warm-starting fresh CLI/bench processes is free."""
 
-    __slots__ = ("freqs", "_tables", "cold")
+    __slots__ = ("freqs", "_tables", "cold", "_lock")
 
     def __init__(self, cache_path=None) -> None:
+        import threading
+
+        # prefetch daemons and tiled-batch fetch threads both feed the
+        # process-shared codec; an unguarded read-modify-write on freqs
+        # silently dropped concurrent histogram updates (ADVICE r3)
+        self._lock = threading.Lock()
         self.freqs = _default_prior()
         self._tables = None
         self.cold = True
@@ -168,20 +174,24 @@ class TokenCodec:
     def update(self, hist: np.ndarray) -> None:
         """Fold in one LF group's exact [NROWS, 64] transport-symbol
         histogram (aux payload; rows 0..8 HF classes, row 9 LF tokens).
-        Exponential decay keeps the code tracking content changes."""
+        Exponential decay keeps the code tracking content changes.
+        Thread-safe: concurrent callers serialize on the codec lock."""
         h = np.asarray(hist, np.int64).reshape(NROWS, ALPHABET)
         if h.sum() <= 0:
             return
-        self.freqs = self.freqs // 2 + h
-        self._tables = None
-        self.cold = False
+        with self._lock:
+            self.freqs = self.freqs // 2 + h
+            self._tables = None
+            self.cold = False
 
     def tables(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        # read into a local: update() (prefetch worker thread) may null
-        # the cache concurrently, and returning self._tables directly
-        # could then yield None
+        # fast path without the lock: _tables is only ever swapped
+        # atomically (None or a complete tuple), so a stale read costs
+        # at most one adaptation step, never a torn table
         t = self._tables
         if t is None:
-            t = build_tables(self.freqs)
+            with self._lock:
+                freqs = self.freqs
+            t = build_tables(freqs)
             self._tables = t
         return t

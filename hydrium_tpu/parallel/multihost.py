@@ -250,6 +250,7 @@ def encode_image_multihost(image: np.ndarray, *, linear_light: bool = False,
     my_freqs = {c: hf._freqs[c] for p in my_presets
                 for c in range((hf._num_clusters // num_presets) * p,
                                (hf._num_clusters // num_presets) * (p + 1))}
+    hf.close()   # sections fully materialized above; drop the spool now
 
     payload = _pack_sections(lf_secs, hf_secs, my_freqs)
     gathered = gather_bytes_to_host0(payload)

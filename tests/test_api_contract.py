@@ -186,16 +186,20 @@ def test_buffered_encoder_push_model():
     assert be.finished
     assert bytes(got) == want
 
-    # contract errors: double-provide, pump without a buffer
+    # contract errors: double-provide, pump without a buffer, and the
+    # reference's 64-byte minimum (hyd_provide_output_buffer rejects
+    # smaller buffers, libhydrium.c)
     be2 = BufferedEncoder(Encoder(ImageMetadata(width=64, height=64)))
-    be2.provide_output_buffer(bytearray(16))
+    be2.provide_output_buffer(bytearray(64))
     with pytest.raises(RuntimeError):
-        be2.provide_output_buffer(bytearray(16))
+        be2.provide_output_buffer(bytearray(64))
     be2.release_output_buffer()
     with pytest.raises(RuntimeError):
         be2.pump()
     with pytest.raises(ValueError):
         be2.provide_output_buffer(bytearray(0))
+    with pytest.raises(ValueError):
+        be2.provide_output_buffer(bytearray(63))
 
 
 def test_tiled_batch_deferred_ordering_parity():
