@@ -19,6 +19,12 @@ import numpy as np
 
 BASELINE_MPPS = 3.19         # reference, 4K noisy, 1 core (BASELINE.md)
 BASELINE_SMOOTH_MPPS = 11.0  # reference, 4K smooth, 1 core (BASELINE.md)
+# The primary vs_baseline ratios above deliberately compare against the
+# reference's FASTEST mode (tiled).  The reference's own one-frame mode
+# measures ~6x slower (BASELINE.md: 0.49 noisy / 1.28 smooth Mpix/s),
+# so the *_vs_ref_same_mode fields give the mode-for-mode comparison.
+BASELINE_1F_MPPS = 0.49          # reference, 4K noisy, ONE-FRAME mode
+BASELINE_1F_SMOOTH_MPPS = 1.28   # reference, 4K smooth, ONE-FRAME mode
 
 
 def make_4k_noisy(seed=0):
@@ -57,12 +63,16 @@ def _merge_best(best, got):
     if best is None:
         best = dict(_EMPTY_RESULT)
         best.pop("error")
-    for key, vs in (("value", "vs_baseline"),
-                    ("smooth_mpix_s", "smooth_vs_baseline"),
-                    ("tiled_mpix_s", "tiled_vs_baseline")):
+    for key, companions in (
+            ("value", ("vs_baseline", "vs_ref_same_mode")),
+            ("smooth_mpix_s", ("smooth_vs_baseline",
+                               "smooth_vs_ref_same_mode")),
+            ("tiled_mpix_s", ("tiled_vs_baseline",))):
         if got.get(key, 0) > best.get(key, 0):
             best[key] = got[key]
-            best[vs] = got.get(vs, 0.0)
+            for c in companions:
+                if c in got:
+                    best[c] = got[c]
     return best
 
 
@@ -353,6 +363,8 @@ def main():
     result["smooth_mpix_s"] = round(smooth_mpps, 3)
     result["smooth_vs_baseline"] = round(smooth_mpps / BASELINE_SMOOTH_MPPS,
                                          2)
+    result["smooth_vs_ref_same_mode"] = round(
+        smooth_mpps / BASELINE_1F_SMOOTH_MPPS, 2)
     print(json.dumps(result), flush=True)
 
     # one throwaway noisy encode re-adapts the codec and loads the
@@ -361,6 +373,7 @@ def main():
     mpps, _ = _measure(img, iters, "noisy")
     result["value"] = round(mpps, 3)
     result["vs_baseline"] = round(mpps / BASELINE_MPPS, 2)
+    result["vs_ref_same_mode"] = round(mpps / BASELINE_1F_MPPS, 2)
     print(json.dumps(result), flush=True)
 
     # tiled mode (256^2 tiles-as-frames): the reference's DEFAULT and

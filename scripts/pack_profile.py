@@ -143,6 +143,69 @@ def main(iters: int = 30) -> dict:
 
     timeit("tok_code_lookup_hist", lookup, t_idx, cls9)
 
+    # the same two pieces separately: the code/len lookup dot alone,
+    # and the [9,M]x[M,64] histogram contraction alone -- which one to
+    # move into a kernel depends on this split
+    def lookup_only(c, ti, cl):
+        ti = (ti + c) % 64
+        oh_tok = (ti[:, None] == jnp.arange(64, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.bfloat16)
+        oh_cls = (cl[:, None] == jnp.arange(9, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.bfloat16)
+        tab = jnp.ones((64, 27), jnp.bfloat16)
+        R_ = jnp.dot(oh_tok, tab, preferred_element_type=jnp.float32)
+        oh_f32 = oh_cls.astype(jnp.float32)
+        lo = jnp.sum(R_[:, :9] * oh_f32, axis=1)
+        hi = jnp.sum(R_[:, 9:18] * oh_f32, axis=1)
+        ln = jnp.sum(R_[:, 18:] * oh_f32, axis=1)
+        return (lo.astype(jnp.uint32) | (hi.astype(jnp.uint32) << 6)
+                | ln.astype(jnp.uint32))
+
+    timeit("tok_lookup_only", lookup_only, t_idx, cls9)
+
+    def hist_only(c, ti, cl):
+        ti = (ti + c) % 64
+        oh_tok = (ti[:, None] == jnp.arange(64, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.bfloat16)
+        oh_cls = (cl[:, None] == jnp.arange(9, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.bfloat16)
+        hist = jnp.dot(oh_cls.T, oh_tok, preferred_element_type=jnp.float32)
+        return hist.astype(jnp.uint32)
+
+    timeit("tok_hist_only", hist_only, t_idx, cls9)
+
+    # compaction alone: token-shaped chunks -> contiguous words
+    def compact_only(c, v, nb):
+        lanes, qbits = P._quad_fields(v ^ c.astype(jnp.uint32), nb, 12)
+        if jax.devices()[0].platform == "tpu" and os.environ.get(
+                "HYDRIUM_PLPACK", "1") != "0":
+            from hydrium_tpu.ops.pallas.bitpack import merge_pack_chunks
+
+            chunks, chunk_bits = merge_pack_chunks(lanes, qbits,
+                                                   P.TOK_CHUNK, TOK_OW, 12)
+        else:
+            chunks, chunk_bits, _ok = P._onehot_pack_chunks(
+                lanes, qbits, P.TOK_CHUNK // 4, TOK_OW)
+        nw = (chunk_bits + 31) >> 5
+        return P._overwrite_compact(chunks, nw, (F * 13) // 32)
+
+    timeit("tok_pack_with_compact", compact_only, vals_d, widths_d)
+
+    # hybridize + LF pack shapes (the remaining packed-pipeline pieces)
+    lfv = jnp.asarray(rng.integers(0, 1 << 12, 256 * 256 * 3,
+                                   dtype=np.int64).astype(np.uint32))
+
+    def lf_shape(c, v):
+        v = v ^ c.astype(jnp.uint32)
+        tok, res, rb8 = P.hybridize(v)
+        nb = jnp.minimum(tok, 63) + rb8.astype(jnp.int32)
+        w, t, _ = P._bitpack_mxu((res,), jnp.minimum(nb, 32),
+                                 v.shape[0] + v.shape[0] // 2, ch=2048,
+                                 max_field_bits=32)
+        return w
+
+    timeit("lf_pack_shape", lf_shape, lfv)
+
     print(json.dumps(out))
     return out
 
