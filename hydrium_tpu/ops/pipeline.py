@@ -426,7 +426,9 @@ def encode_lfg(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
 #     [8:648]    per-class transport-symbol histogram (10 x 64 bins:
 #                rows 0..8 = HF classes, row 9 = LF hybrid tokens;
 #                feeds the NEXT dispatch's transport code,
-#                jxl/tokcode.py)
+#                jxl/tokcode.py).  HF rows are block-sampled and
+#                HS-scaled (HIST_SAMPLE_STRIDE) -- adaptive-code input,
+#                not exact counts
 #     [..+G]     per-group symbol counts
 #     [..+G]     per-group residue bit counts
 #     [..+G]     per-group token bit counts
@@ -647,6 +649,20 @@ def _bitpack_mxu(lanes, nbits, num_words: int, ch: int, max_field_bits: int):
     chunks, chunk_bits, ok = _onehot_pack_chunks(tuple(lanes), nbits, ch, ow)
     words, total = _carry_scan_compact(chunks, chunk_bits, num_words)
     return words, total, ok
+
+
+# Transport-histogram block sampling: the aux histogram only feeds the
+# ADAPTIVE transport code (jxl/tokcode.py TokenCodec.update), where
+# approximation costs a little compression but never correctness, so
+# both backends count every HIST_SAMPLE_STRIDE-th block-channel row and
+# scale the counts back up.  This cuts the [9,M]x[M,64] histogram
+# contraction -- MXU time is K-bound on its tiny 9x64 output, making it
+# the dominant share of the transport-coding stage on TPU -- by the
+# stride factor.  Stride 1 restores exact counts
+# (HYDRIUM_HIST_SAMPLE_STRIDE, read at import; both backends always use
+# the same stride so payload bytes stay backend-identical).
+HIST_SAMPLE_STRIDE = max(1, int(os.environ.get(
+    "HYDRIUM_HIST_SAMPLE_STRIDE", "4")))
 
 
 # format-v3 chunk geometry: slots per chunk and the per-chunk one-hot
@@ -877,6 +893,17 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
     # before each token is decoded
     cls = (out["clusters"].astype(jnp.int32) % tok_classes).reshape(M)
 
+    # histogram sampling: every HS-th block-channel ROW (all 64 zigzag
+    # positions of the sampled blocks -- a positionally unbiased sample,
+    # unlike striding the flat slot array), counts scaled back by HS
+    HS = HIST_SAMPLE_STRIDE if N % HIST_SAMPLE_STRIDE == 0 else 1
+    if HS > 1:
+        t_h = t_idx.reshape(N, 64)[::HS].reshape(-1)
+        c_h = cls.reshape(N, 64)[::HS].reshape(-1)
+        m_h = mask_i32.reshape(N, 64)[::HS].reshape(-1)
+    else:
+        t_h, c_h, m_h = t_idx, cls, mask_i32
+
     # Per-slot transport code/length lookup and the per-class histogram
     # both go through the MXU instead of gather/scatter ON TPU: a
     # dynamic gather or a duplicate-index scatter costs ~10-15 ns PER
@@ -911,19 +938,29 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
         code_u = lo_f.astype(jnp.uint32) | (hi_f.astype(jnp.uint32) << 6)
         t_flat = jnp.where(mask_i32 > 0, code_u, 0)
         t_bits = len_f.astype(jnp.int32) * mask_i32
-        # exact per-class token histogram (of *clamped* indices; exact
-        # whenever ok -- max hybrid-uint token for 32-bit values is 71,
-        # and ok requires <64): hist[c, t] = sum_m mask*onehot9*onehot64
-        hist64 = jnp.dot((oh_cls
-                          * mask_i32[:, None].astype(jnp.bfloat16)).T,
-                         oh_tok, preferred_element_type=jnp.float32)
-        hist64 = hist64.astype(jnp.int32).reshape(9 * 64)
+        # block-sampled per-class token histogram (HS-scaled; see
+        # HIST_SAMPLE_STRIDE above -- it feeds only the adaptive
+        # transport code): hist[c, t] = HS * sum_m mask*onehot9*onehot64
+        # over every HS-th block row.  Sampled counts <= M/HS and scaled
+        # counts <= M stay f32/i32-exact.
+        if HS > 1:
+            oh_tok_h = (t_h[:, None] == jnp.arange(64, dtype=jnp.int32)[
+                None, :]).astype(jnp.bfloat16)
+            oh_cls_h = (c_h[:, None] == jnp.arange(9, dtype=jnp.int32)[
+                None, :]).astype(jnp.bfloat16)
+        else:
+            oh_tok_h, oh_cls_h = oh_tok, oh_cls
+        hist64 = jnp.dot((oh_cls_h
+                          * m_h[:, None].astype(jnp.bfloat16)).T,
+                         oh_tok_h, preferred_element_type=jnp.float32)
+        hist64 = (hist64.astype(jnp.int32) * HS).reshape(9 * 64)
     else:
         ct_idx = cls * 64 + t_idx
         t_flat = jnp.where(mask_i32 > 0, tok_code[ct_idx].astype(jnp.uint32),
                            0)
         t_bits = tok_len[ct_idx].astype(jnp.int32) * mask_i32
-        hist64 = jnp.zeros((9 * 64,), jnp.int32).at[ct_idx].add(mask_i32)
+        hist64 = jnp.zeros((9 * 64,), jnp.int32).at[c_h * 64 + t_h].add(
+            m_h) * HS
     r_flat = jnp.where(valid, residues, 0).reshape(M)
     r_bits = jnp.where(valid, residue_bits.astype(jnp.int32), 0).reshape(M)
 

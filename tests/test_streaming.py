@@ -110,3 +110,37 @@ def test_spooled_streaming_bytes_equal_and_iter_output():
     with tempfile.TemporaryDirectory() as d:
         spooled = run(d, True)
     assert ram == spooled
+
+
+def test_spool_dirs_removed_on_drain_and_close(tmp_path):
+    """The per-encoder hydspool- temp subdirectories must disappear as
+    soon as the finalize stream is fully drained, and Encoder.close()
+    must remove them for an abandoned encode (ADVICE r3: __del__-only
+    cleanup leaked them under reference cycles / crashes)."""
+    import os
+
+    img = make_image(300, 2500, seed=9)  # 1x2 LF groups
+    meta = ImageMetadata(width=2500, height=300)
+
+    def spool_dirs():
+        return [d for d in os.listdir(tmp_path)
+                if d.startswith("hydspool-")]
+
+    # drained encode: dirs exist mid-encode, gone after the last chunk
+    enc = Encoder(meta, backend="jax", streaming=True,
+                  spool_dir=str(tmp_path))
+    enc.send_tile(img[:, :2048], 0, 0, sample_fmt=SampleFormat.UINT8)
+    enc.send_tile(img[:, 2048:], 1, 0, sample_fmt=SampleFormat.UINT8)
+    assert spool_dirs(), "expected live spool dirs mid-encode"
+    data = enc.take_output()
+    assert data[:2] == b"\xff\x0a"
+    assert not spool_dirs(), "drain must remove the spool dirs"
+
+    # abandoned encode: close() cleans up without draining
+    enc2 = Encoder(meta, backend="jax", streaming=True,
+                   spool_dir=str(tmp_path))
+    enc2.send_tile(img[:, :2048], 0, 0, sample_fmt=SampleFormat.UINT8)
+    enc2.send_tile(img[:, 2048:], 1, 0, sample_fmt=SampleFormat.UINT8)
+    assert spool_dirs()
+    enc2.close()
+    assert not spool_dirs(), "close() must remove the spool dirs"
