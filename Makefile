@@ -22,7 +22,17 @@ asan: cpp/serializer.cc cpp/selftest.cc
 test:
 	python -m pytest tests/ -x -q
 
+# On-chip regression sweep (needs the real TPU; run at most one TPU
+# client at a time -- see CLAUDE.md on the tunnel).  Covers the packed
+# payload parity smoke (MXU bitpack / Pallas kernel / LF stream) and a
+# budgeted end-to-end bench; each stage retries once in a fresh process
+# because the tunnel can wedge a client forever.
+tpu-check:
+	timeout 420 python scripts/tpu_smoke.py \
+	  || timeout 420 python scripts/tpu_smoke.py
+	HYDRIUM_BENCH_BUDGET_S=900 timeout 960 python bench.py 2
+
 clean:
 	rm -rf build
 
-.PHONY: all asan test clean
+.PHONY: all asan test clean tpu-check

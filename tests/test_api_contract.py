@@ -139,6 +139,42 @@ def test_planar_input_matches_packed():
     assert a.take_output() == b.take_output()
 
 
+def test_strided_view_input_matches_contiguous():
+    """Non-contiguous numpy views (the row_stride/pixel_stride cases of
+    hyd_send_tile, libhydrium.h) must encode byte-identically to
+    contiguous input."""
+    rng = np.random.default_rng(16)
+    big = rng.integers(0, 255, (240, 300, 7), dtype=np.uint8)
+    view = big[10:110, 40:160, 2:5]          # strided in all three axes
+    assert not view.flags.c_contiguous
+    a = Encoder(ImageMetadata(width=120, height=100))
+    a.send_tile(np.ascontiguousarray(view), 0, 0)
+    b = Encoder(ImageMetadata(width=120, height=100))
+    b.send_tile(view, 0, 0)
+    assert a.take_output() == b.take_output()
+
+
+def test_mixed_sample_formats_across_tiles():
+    """The reference allows the sample format to vary tile to tile
+    (libhydrium.h hyd_send_tile docs).  u16 = u8 * 257 represents the
+    exact same sample values (v/255 == 257v/65535), so a mixed-format
+    encode must match the all-u8 encode byte for byte on the float
+    (jax) backend."""
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 255, (100, 4100, 3), dtype=np.uint8)  # 2 LFGs
+    meta = ImageMetadata(width=4100, height=100)
+
+    a = Encoder(meta, backend="jax")
+    a.send_tile(img[:, :2048], 0, 0, sample_fmt=SampleFormat.UINT8)
+    a.send_tile(img[:, 2048:], 1, 0, sample_fmt=SampleFormat.UINT8)
+
+    b = Encoder(meta, backend="jax")
+    b.send_tile(img[:, :2048], 0, 0, sample_fmt=SampleFormat.UINT8)
+    b.send_tile((img[:, 2048:].astype(np.uint16) * 257), 1, 0,
+                sample_fmt=SampleFormat.UINT16)
+    assert a.take_output() == b.take_output()
+
+
 def test_bucket_words_bounds():
     """Fetch buckets must cover n, never exceed cap, and over-read at
     most ~6.3% past n (worst just above a power of two; every over-read
