@@ -717,12 +717,16 @@ def _bitpack_at(values: jnp.ndarray, nbits: jnp.ndarray, off: jnp.ndarray,
 
 
 def _overwrite_compact(chunks: jnp.ndarray, nw: jnp.ndarray,
-                       num_words: int, pre_levels: int = 3) -> jnp.ndarray:
+                       num_words: int, pre_levels: int = 3,
+                       unroll: int = 4) -> jnp.ndarray:
     """Place word-aligned chunks contiguously: `pre_levels` rounds of
     pairwise barrel-shift merging (row 2r+1 rolled right by used[2r]
     words and ORed into row 2r -- shifts are word-granular, so no bit
     carries), then one dynamic_update_slice scan over the 2^pre_levels-x
-    fewer merged rows.  The scan's per-step overhead (~2.5 us) dominates
+    fewer merged rows.  PRECONDITION for pre_levels >= 1: each chunk's
+    words beyond nw[r] must be ZERO (the pack kernels guarantee this;
+    the OR-merge would otherwise fold tail garbage into the next
+    chunk's words).  The scan's per-step overhead (~2.5 us) dominates
     compaction at full chunk count, so the cheap shallow merge levels
     pay for themselves ~4x (measured on v5e: 7.7 -> ~2 ms for the 3072
     token chunks of a 2048^2 LF group)."""
@@ -759,7 +763,7 @@ def _overwrite_compact(chunks: jnp.ndarray, nw: jnp.ndarray,
 
     # + W + 2 pad so the dus never clamps backward over earlier chunks
     buf0 = jnp.zeros((num_words + W + 2,), jnp.uint32)
-    buf, _ = jax.lax.scan(body, buf0, (rows, wstart), unroll=4)
+    buf, _ = jax.lax.scan(body, buf0, (rows, wstart), unroll=unroll)
     return buf[:num_words]
 
 

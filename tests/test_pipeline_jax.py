@@ -316,6 +316,39 @@ def test_bitpack_mxu_equals_scatter(lanes, max_bits, ch):
     np.testing.assert_array_equal(np.asarray(got_w), np.asarray(ref_w))
 
 
+def test_overwrite_compact_levels_exact():
+    """_overwrite_compact must place chunks identically for every
+    (pre_levels, unroll) configuration scripts/compact_sweep.py times
+    on chip -- the sweep may change the production defaults, so the
+    whole space is pinned here."""
+    rng = np.random.default_rng(41)
+    R, OW = 23, 48                        # odd R exercises the pad path
+    nw = rng.integers(0, OW + 1, R).astype(np.int32)
+    ch_np = rng.integers(0, 1 << 32, (R, OW),
+                         dtype=np.uint64).astype(np.uint32)
+    # contract: words past each chunk's nw are ZERO (the pack kernels
+    # guarantee it; the pre-level OR-merges rely on it)
+    ch_np[np.arange(OW)[None, :] >= nw[:, None]] = 0
+    chunks = jnp.asarray(ch_np)
+    total = int(nw.sum())
+    num_words = total + 7
+    # independent oracle: plain numpy concatenation.  Words past the
+    # total are garbage by contract (callers never read past the
+    # stream's total bits), so only the defined prefix is compared.
+    ref = np.zeros(total, np.uint32)
+    pos = 0
+    for r in range(R):
+        ref[pos:pos + nw[r]] = ch_np[r, :nw[r]]
+        pos += nw[r]
+    for pre in (0, 1, 2, 3, 4, 5):
+        for unroll in (1, 4, 8):
+            got = np.asarray(pipeline._overwrite_compact(
+                chunks, jnp.asarray(nw), num_words, pre_levels=pre,
+                unroll=unroll))
+            np.testing.assert_array_equal(got[:total], ref,
+                                          err_msg=(pre, unroll))
+
+
 def test_bitpack_mxu_overflow_flag():
     """A chunk packed denser than max_field_bits*ch must drop ok."""
     ch = 32
