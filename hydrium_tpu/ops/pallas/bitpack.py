@@ -48,6 +48,13 @@ from jax.experimental.pallas import tpu as pltpu
 # all lanes busy at the deepest level; peak VMEM ~10 MB per program.
 CB = 128
 
+import os as _os
+
+# predicate dead deep-barrel passes on the actual max shift (see the
+# kernel body); flip the default to "1" once scripts/tpu_smoke.py has
+# validated the Mosaic cond lowering on real hardware
+PRED = _os.environ.get("HYDRIUM_PLPACK_PRED", "0") == "1"
+
 
 def _bitrev_indices(n: int) -> np.ndarray:
     bits = n.bit_length() - 1
@@ -146,13 +153,31 @@ def _merge_pack_kernel(vals_ref, bits_ref, out_ref, cb_ref, *, ch: int,
         l = _pad_rows(left, rows_next)
         r = _pad_rows(right, rows_next)
         # word part of the shift: log-barrel of static row shifts,
-        # selected per column (bl <= cap*seg_fields/2)
+        # selected per column (bl <= cap*seg_fields/2).  The static
+        # bound covers cap bits per field, but real content packs a
+        # fraction of that, so with PRED each step is predicated on the
+        # ACTUAL max shift across columns (scalar lax.cond -- Mosaic
+        # branches around the whole vector op, making dead deep-barrel
+        # passes ~free; bit-identical by construction since a skipped
+        # step has no selected column).  PRED defaults OFF until the
+        # on-chip smoke validates the Mosaic lowering of the
+        # value-returning cond (interpret-mode equality is pinned
+        # either way by tests/test_pallas_bitpack.py).
         w = bl >> 5
+        mx = jnp.max(w)
         max_w = (cap * (seg_fields // 2)) >> 5
         t = 0
         while (1 << t) <= max_w:
-            cond = ((w >> t) & 1) > 0
-            r = jnp.where(cond, _row_shift_down(r, 1 << t), r)
+            step = 1 << t
+
+            def _shift(rr, _s=step, _t=t, _w=w):
+                return jnp.where(((_w >> _t) & 1) > 0,
+                                 _row_shift_down(rr, _s), rr)
+
+            if PRED:
+                r = jax.lax.cond(mx >= step, _shift, lambda rr: rr, r)
+            else:
+                r = _shift(r)
             t += 1
         # bit part: per-column shift with the inter-word carry
         bb = (bl & 31).astype(jnp.uint32)

@@ -49,6 +49,25 @@ def test_merge_pack_matches_onehot(ch, ow, cap, p):
     assert np.array_equal(a_chunks, b_chunks)
 
 
+def test_merge_pack_predicated_barrel_identical(monkeypatch):
+    """The PRED form (deep barrel passes skipped via a scalar cond on
+    the actual max shift) must produce the exact same chunks as the
+    always-execute form."""
+    ch, ow, cap = P.TOK_CHUNK, P.TOK_OW, P.TOK_MAX_LEN
+    rng = np.random.default_rng(77)
+    F = 2 * ch
+    # realistic sparse widths: most fields 2-5 bits, so the actual max
+    # shift sits far below the cap bound and many passes get skipped
+    widths = np.minimum(rng.geometric(0.4, F), cap).astype(np.int32)
+    vals = (rng.integers(0, 1 << 31, F, dtype=np.int64)
+            & ((1 << widths.astype(np.int64)) - 1)).astype(np.uint32)
+    base_chunks, base_bits = _pl_chunks(vals, widths, ch, ow, cap)
+    monkeypatch.setattr(bitpack, "PRED", True)
+    pred_chunks, pred_bits = _pl_chunks(vals, widths, ch, ow, cap)
+    assert np.array_equal(base_bits, pred_bits)
+    assert np.array_equal(base_chunks, pred_chunks)
+
+
 def test_merge_pack_overflow_chunk_bits_exact():
     """A residue chunk past the fast budget: words are garbage on both
     paths, but chunk_bits (which drives the ok flag) must stay exact."""
