@@ -33,6 +33,9 @@ STEPS = [
     ("sweep", [sys.executable, "scripts/compact_sweep.py", "30"], {}, 540),
     ("bench", [sys.executable, "bench.py", "2"],
      {"HYDRIUM_BENCH_BUDGET_S": "900"}, 960),
+    # last: longest and least wedge-tolerant; a short window can die
+    # here without costing the measurements above
+    ("artifacts", [sys.executable, "scripts/scale_artifacts.py"], {}, 2400),
 ]
 
 
