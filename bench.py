@@ -104,17 +104,36 @@ def parent(iters: int) -> int:
 
     state = {"best": None, "printed": False}
 
-    def _emit():
+    def _emit(diagnose=True):
         if state["printed"]:
             return
         state["printed"] = True
-        print(json.dumps(state["best"] if state["best"] is not None
-                         else _EMPTY_RESULT), flush=True)
+        if state["best"] is not None:
+            print(json.dumps(state["best"]), flush=True)
+            return
+        result = dict(_EMPTY_RESULT)
+        if diagnose and os.environ.get("HYDRIUM_BENCH_PROBE", "1") != "0":
+            # all attempts wedged: attach a tunnel diagnostic so a zero
+            # score is attributable -- "wedged" means even jax.devices()
+            # hangs (infrastructure), "ok" would point at the encoder.
+            # Skipped on the signal path (the signal sender's kill
+            # grace may be shorter than the probe).
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c", "import jax; jax.devices()"],
+                    capture_output=True, timeout=60)
+                result["tunnel_probe"] = ("ok" if r.returncode == 0
+                                          else f"rc={r.returncode}")
+            except subprocess.TimeoutExpired:
+                result["tunnel_probe"] = "wedged (jax.devices() hung 60s)"
+            except Exception as e:
+                result["tunnel_probe"] = f"probe failed: {e!r}"
+        print(json.dumps(result), flush=True)
 
     def _on_signal(signum, frame):
         print(f"bench: signal {signum}, emitting best-so-far",
               file=sys.stderr, flush=True)
-        _emit()
+        _emit(diagnose=False)
         os._exit(0 if state["best"] is not None else 1)
 
     old = [(s, signal.signal(s, _on_signal))

@@ -50,7 +50,10 @@ def test_merge_best_partials():
 
 
 def test_budget_exhausted_always_prints_json():
-    env = dict(os.environ, HYDRIUM_BENCH_BUDGET_S="1")
+    # HYDRIUM_BENCH_PROBE=0: the all-wedged tunnel diagnostic would
+    # touch the real backend (up to 60 s against a down tunnel)
+    env = dict(os.environ, HYDRIUM_BENCH_BUDGET_S="1",
+               HYDRIUM_BENCH_PROBE="0")
     r = subprocess.run([sys.executable, BENCH, "1"], capture_output=True,
                        text=True, timeout=60, env=env)
     got = _last_json(r.stdout)
