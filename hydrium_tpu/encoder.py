@@ -245,11 +245,13 @@ def _pxpack_on() -> bool:
     return os.environ.get("HYDRIUM_PXPACK", "1") != "0"
 
 
-def _bucket_pxwords(n: int) -> int:
+def _bucket_pxwords(n: int, floor: int = 1 << 16) -> int:
     """Pad packed-pixel word counts to {2^k, 1.5*2^k} buckets: each
     bucket is one compiled executable of the whole pipeline, and the
-    padded tail of zeros is cheap on the wire."""
-    b = 1 << 16
+    padded tail of zeros is cheap on the wire.  The level-2 meta stream
+    (px_pack2) uses a smaller floor -- it is ~20-50x smaller than the
+    pixel planes."""
+    b = floor
     while b < n:
         if n <= (b * 3) >> 1:
             return (b * 3) >> 1
@@ -556,15 +558,32 @@ class _JaxDispatch:
             from .jxl import native as _native
 
             with ev(f"pxpack[{self._tag}]"):
-                pxp = _native.px_pack(px)
-        if pxp is not None:
-            hdr, basearr, words = pxp
+                pxp = _native.px_pack2(px)
+        if pxp is not None and pxp[0] == "px2":
+            _, words, hdr2, base2, words2, meta_h, meta_w = pxp
+            nw = _bucket_pxwords(max(words.size, 1))
+            wpad = np.zeros(nw, np.uint32)
+            wpad[:words.size] = words
+            nw2 = _bucket_pxwords(max(words2.size, 1), floor=1 << 12)
+            w2pad = np.zeros(nw2, np.uint32)
+            w2pad[:words2.size] = words2
+            with ev(f"h2d[{self._tag}]"):
+                self._pxp_dev = ("px2", _upload_flat(wpad),
+                                 jnp.asarray(hdr2), jnp.asarray(base2),
+                                 jnp.asarray(w2pad), meta_h, meta_w)
+            if self.stats is not None:
+                self.stats.count("pxpack_lfgs")
+                self.stats.count("pxpack_words", int(words.size))
+                self.stats.count("pxpack_meta_words",
+                                 int(words2.size) + (hdr2.size * 3 + 3) // 4)
+        elif pxp is not None:
+            _, words, hdr, basearr = pxp
             nw = _bucket_pxwords(max(words.size, 1))
             wpad = np.zeros(nw, np.uint32)
             wpad[:words.size] = words
             with ev(f"h2d[{self._tag}]"):
-                self._pxp_dev = (_upload_flat(wpad), jnp.asarray(hdr),
-                                 jnp.asarray(basearr))
+                self._pxp_dev = ("px1", _upload_flat(wpad),
+                                 jnp.asarray(hdr), jnp.asarray(basearr))
             if self.stats is not None:
                 self.stats.count("pxpack_lfgs")
                 self.stats.count("pxpack_words", int(words.size))
@@ -590,7 +609,8 @@ class _JaxDispatch:
         exactly the table the device packed with, even though the codec
         adapts between dispatches."""
         import jax.numpy as jnp
-        from .ops.pipeline import encode_lfg_packed, encode_lfg_packed_px
+        from .ops.pipeline import (encode_lfg_packed, encode_lfg_packed_px,
+                                   encode_lfg_packed_px2)
 
         from .jxl.tokcode import LF_CLASS
 
@@ -601,8 +621,16 @@ class _JaxDispatch:
         # stream decodes with the LF_CLASS row of the SAME snapshot
         self.tok_lut = lut[:self.kwargs["tok_classes"]]
         self.lf_lut = lut[LF_CLASS]
-        if self._pxp_dev is not None:
-            words, hdr, basearr = self._pxp_dev
+        if self._pxp_dev is not None and self._pxp_dev[0] == "px2":
+            _, words, hdr2, base2, words2, meta_h, meta_w = self._pxp_dev
+            self.out = encode_lfg_packed_px2(
+                words, hdr2, base2, words2, self.lfg.height, self.lfg.width,
+                self.presets_dev, self.cm_dev, jnp.asarray(lens),
+                jnp.asarray(codes), ubuf_h=self._ubuf[0],
+                ubuf_w=self._ubuf[1], meta_h=meta_h, meta_w=meta_w,
+                wide_residues=self._wide, **self.kwargs)
+        elif self._pxp_dev is not None:
+            _, words, hdr, basearr = self._pxp_dev
             self.out = encode_lfg_packed_px(
                 words, hdr, basearr, self.lfg.height, self.lfg.width,
                 self.presets_dev, self.cm_dev, jnp.asarray(lens),

@@ -142,6 +142,36 @@ def lf_decode(words: np.ndarray, lf_lut: np.ndarray, lf_n: int,
     return out
 
 
+def _px_pack_raw(px: np.ndarray, words_cap: int,
+                 n_threads: int) -> Optional[tuple]:
+    """One hyd_px_pack call on a contiguous [h, w, 3] u8/u16 buffer with
+    an explicit word cap; (hdr, base, words) or None past the cap."""
+    lib = _load()
+    if lib is None:
+        return None
+    if px.ndim != 3 or px.shape[2] != 3:
+        # the kernel reads exactly 3 interleaved channels; anything else
+        # would read out of bounds
+        return None
+    h, w, _c = px.shape
+    if w % 32 or px.dtype not in (np.uint8, np.uint16):
+        return None
+    px = np.ascontiguousarray(px)
+    nb = 3 * h * (w >> 5)
+    if words_cap <= 0:
+        return None
+    hdr = np.empty(nb, np.uint8)
+    base = np.empty(nb, np.uint16)
+    words = np.empty(words_cap, np.uint32)
+    n = lib.hyd_px_pack(px.ctypes.data, h, w,
+                        1 if px.dtype == np.uint16 else 0,
+                        hdr.ctypes.data, base.ctypes.data,
+                        words.ctypes.data, words_cap, n_threads)
+    if n < 0:
+        return None
+    return hdr, base, words[:n]
+
+
 def px_pack(px: np.ndarray, cap_ratio: float = 0.85,
             n_threads: int = 3) -> Optional[tuple]:
     """PXPACK v1 (cpp/serializer.cc hyd_px_pack): bitpack an interleaved
@@ -151,29 +181,79 @@ def px_pack(px: np.ndarray, cap_ratio: float = 0.85,
     words u32[nwords]) or None when the packed form would not be
     meaningfully smaller than raw (cap_ratio of the raw byte size --
     e.g. saturated-noise content) or the native library is unavailable."""
-    lib = _load()
-    if lib is None:
+    if px.dtype not in (np.uint8, np.uint16):
         return None
-    h, w, _c = px.shape
-    if w % 32 or px.dtype not in (np.uint8, np.uint16):
-        return None
-    is16 = px.dtype == np.uint16
-    px = np.ascontiguousarray(px)
-    nb = 3 * h * (w >> 5)
-    hdr = np.empty(nb, np.uint8)
-    base = np.empty(nb, np.uint16)
+    nb = 3 * px.shape[0] * (px.shape[1] >> 5)
     # budget: headers (hdr + base = 3 bytes/block = 0.75 bits/px) count
     # against the raw size too, so cap the words at ratio*raw - headers
-    cap = int((px.nbytes * cap_ratio - nb * 3) // 4)
-    if cap <= 0:
+    return _px_pack_raw(px, int((px.nbytes * cap_ratio - nb * 3) // 4),
+                        n_threads)
+
+
+def _px2_meta_w(nb: int) -> int:
+    """Level-2 meta image row width: the largest power of two <= 1024
+    dividing nb.  nb = 3*h*(w/32) of a 32-row-aligned buffer (the
+    encoder's ubuf is 32-aligned both ways) is a multiple of 32; odd
+    test shapes can land below hyd_px_pack's 32-column minimum, which
+    px_pack2 turns into a px1 fallback."""
+    w = 1024
+    while nb % w:
+        w >>= 1
+    return w
+
+
+def px_pack2(px: np.ndarray, cap_ratio: float = 0.97,
+             n_threads: int = 3) -> Optional[tuple]:
+    """PXPACK v2: two-level packed pixel upload.  Level 1 bitpacks the
+    pixels (hyd_px_pack); level 2 re-packs level 1's (hdr, base) arrays
+    -- 3 bytes per 32-pixel block, which DOMINATE the upload on smooth
+    content -- through the same kernel, viewed as a [nb/1024, 1024, 3]
+    meta image with channels (width, base_lo, base_hi<<1|delta_mode).
+    The mode bit rides base_hi's low bit (not hdr bit 7) so mixed-mode
+    regions stay compressible.  The device reverses both levels in
+    ops/pipeline.encode_lfg_packed_px2 -- the two sides share this
+    layout; change both together.
+
+    Returns, in preference order:
+      ("px2", words, hdr2, base2, words2, meta_h, meta_w)  both packed
+      ("px1", words, hdr, base)                    meta would not shrink
+      None                                         upload raw instead
+
+    cap_ratio bounds the TOTAL packed bytes (planes + packed meta)
+    against raw: on a transfer-bound link any byte saved is won, so the
+    default only rejects content where packing is truly pointless."""
+    if px.dtype not in (np.uint8, np.uint16):
         return None
-    words = np.empty(cap, np.uint32)
-    n = lib.hyd_px_pack(px.ctypes.data, h, w, 1 if is16 else 0,
-                        hdr.ctypes.data, base.ctypes.data,
-                        words.ctypes.data, cap, n_threads)
-    if n < 0:
+    raw_bytes = px.nbytes
+    l1 = _px_pack_raw(px, int(raw_bytes * cap_ratio) // 4, n_threads)
+    if l1 is None:
         return None
-    return hdr, base, words[:n]
+    hdr, base, words = l1
+    nb = hdr.size
+    meta_w = _px2_meta_w(nb)
+    if meta_w < 32:
+        if words.nbytes + nb * 3 <= raw_bytes * cap_ratio:
+            return ("px1", words, hdr, base)
+        return None
+    meta_h = nb // meta_w
+    dt = px.dtype
+    meta = np.empty((meta_h, meta_w, 3), dt)
+    meta[..., 0] = (hdr & 31).reshape(meta_h, meta_w)
+    meta[..., 1] = (base & 255).astype(dt).reshape(meta_h, meta_w)
+    meta[..., 2] = (((base >> 8) << 1).astype(dt)
+                    | (hdr >> 7)).reshape(meta_h, meta_w)
+    # level 2 must at least beat raw meta (3 B/block) to be worth the
+    # extra unpack stage; otherwise ship level 1 as-is
+    l2 = _px_pack_raw(meta, nb * 3 // 4, n_threads)
+    if l2 is not None:
+        hdr2, base2, words2 = l2
+        meta_bytes = hdr2.nbytes + base2.nbytes + words2.nbytes
+        if meta_bytes < nb * 3 \
+                and words.nbytes + meta_bytes <= raw_bytes * cap_ratio:
+            return ("px2", words, hdr2, base2, words2, meta_h, meta_w)
+    if words.nbytes + nb * 3 <= raw_bytes * cap_ratio:
+        return ("px1", words, hdr, base)
+    return None
 
 
 class NativeBitWriter:

@@ -1190,6 +1190,46 @@ def encode_lfg_packed_px(words: jnp.ndarray, hdr: jnp.ndarray,
                              wide_residues=wide_residues)
 
 
+@partial(jax.jit, static_argnames=("ubuf_h", "ubuf_w", "meta_h", "meta_w",
+                                   "buf_h", "buf_w", "linear_light",
+                                   "num_clusters", "sample_kind",
+                                   "use_pallas", "lf_seg_vb",
+                                   "tok_classes", "wide_residues"))
+def encode_lfg_packed_px2(words: jnp.ndarray, hdr2: jnp.ndarray,
+                          base2: jnp.ndarray, words2: jnp.ndarray,
+                          height, width, presets: jnp.ndarray,
+                          cluster_map: jnp.ndarray, tok_len: jnp.ndarray,
+                          tok_code: jnp.ndarray, *, ubuf_h: int, ubuf_w: int,
+                          meta_h: int, meta_w: int, buf_h: int, buf_w: int,
+                          linear_light: bool, num_clusters: int,
+                          sample_kind: str, use_pallas: bool = False,
+                          lf_seg_vb: int = 0, tok_classes: int = 9,
+                          wide_residues: bool = False):
+    """PXPACK v2 upload: the level-1 (hdr, base) arrays arrive packed as
+    a [meta_h, meta_w, 3] meta image (jxl/native.py px_pack2 -- shared
+    layout, change both together) and are unpacked with the SAME plane
+    decoder before the pixel planes.  Meta channels: 0 = width,
+    1 = base_lo, 2 = base_hi<<1 | delta_mode."""
+    is16 = sample_kind == "uint16"
+    m = _unpack_px_planes(words2, hdr2, base2, meta_h, meta_w, is16)
+    w1 = m[0].reshape(-1)
+    lo = m[1].reshape(-1)
+    him = m[2].reshape(-1)
+    hdr1 = w1 | ((him & 1) << 7)
+    base1 = lo | ((him >> 1) << 8)
+    planar = _unpack_px_planes(words, hdr1, base1, ubuf_h, ubuf_w, is16)
+    dt = jnp.uint16 if is16 else jnp.uint8
+    pixels = jnp.stack([planar[0], planar[1], planar[2]],
+                       axis=-1).astype(dt)
+    return encode_lfg_packed(pixels, height, width, presets, cluster_map,
+                             tok_len, tok_code, buf_h=buf_h, buf_w=buf_w,
+                             linear_light=linear_light,
+                             num_clusters=num_clusters,
+                             sample_kind=sample_kind, use_pallas=use_pallas,
+                             lf_seg_vb=lf_seg_vb, tok_classes=tok_classes,
+                             wide_residues=wide_residues)
+
+
 # aux layout constants (format v4); see the module comment above
 AUX_SCALARS = 8
 AUX_HIST_ROWS = 10      # 9 HF classes + 1 LF class

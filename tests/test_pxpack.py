@@ -88,6 +88,90 @@ def test_px_pack_rejects_unaligned_width():
     assert native.px_pack(np.zeros((32, 32, 3), np.float32)) is None
 
 
+def _px2_roundtrip(img: np.ndarray):
+    """px_pack2 -> double device unpack (mirroring
+    encode_lfg_packed_px2's reconstruction) -> exact pixel compare.
+    Returns the tag and total packed bytes."""
+    r = native.px_pack2(img, cap_ratio=100.0)
+    assert r is not None
+    is16 = img.dtype == np.uint16
+    if r[0] == "px2":
+        _, words, hdr2, base2, words2, meta_h, meta_w = r
+        w2pad = np.zeros(words2.size + 16, np.uint32)
+        w2pad[:words2.size] = words2
+        m = np.asarray(_unpack_px_planes(
+            jnp.asarray(w2pad), jnp.asarray(hdr2), jnp.asarray(base2),
+            meta_h, meta_w, is16))
+        hdr = (m[0].reshape(-1) | ((m[2].reshape(-1) & 1) << 7))
+        base = (m[1].reshape(-1) | ((m[2].reshape(-1) >> 1) << 8))
+        total = words.nbytes + words2.nbytes + hdr2.nbytes + base2.nbytes
+    else:
+        _, words, hdr, base = r
+        hdr = hdr.astype(np.int32)
+        base = base.astype(np.int32)
+        total = words.nbytes + hdr.nbytes + base.nbytes
+    wpad = np.zeros(words.size + 16, np.uint32)
+    wpad[:words.size] = words
+    planar = np.asarray(_unpack_px_planes(
+        jnp.asarray(wpad), jnp.asarray(hdr), jnp.asarray(base),
+        img.shape[0], img.shape[1], is16))
+    rec = np.stack([planar[0], planar[1], planar[2]],
+                   axis=-1).astype(img.dtype)
+    np.testing.assert_array_equal(rec, img)
+    return r[0], total
+
+
+@pytest.mark.parametrize("fmt", ["uint8", "uint16"])
+def test_px2_roundtrip_and_meta_shrink(fmt):
+    """Smooth content must take the two-level path, reconstruct exactly,
+    and pack the (hdr, base) meta arrays well below their raw 3 B/block."""
+    h, w = 96, 1024  # nb = 3*96*32 = 9216, meta_w = 1024
+    xx = np.arange(w, dtype=np.float32)[None, :, None]
+    yy = np.arange(h, dtype=np.float32)[:, None, None]
+    phase = np.array([0.0, 1.3, 2.1], np.float32)
+    img = np.clip(128 + 80 * np.sin(xx / 971.0 + phase)
+                  * np.cos(yy / 533.0 - phase), 0, 255).astype(np.uint8)
+    if fmt == "uint16":
+        img = img.astype(np.uint16) * 257
+    tag, total = _px2_roundtrip(img)
+    assert tag == "px2"
+    nb = 3 * h * (w >> 5)
+    r1 = native.px_pack(img, cap_ratio=100.0)
+    l1_total = r1[0].nbytes + r1[1].nbytes + r1[2].nbytes
+    assert total < l1_total - nb  # meta at least 1/3 smaller
+
+
+def test_px2_mixed_modes_and_noise():
+    """Mode transitions (raw<->delta) inside one meta block must not
+    break the reconstruction; noisy content still packs correctly at an
+    unbounded cap."""
+    rng = np.random.default_rng(7)
+    h, w = 64, 1024
+    img = np.empty((h, w, 3), np.uint8)
+    xx = np.arange(w)[None, :, None]
+    img[:16] = (xx % 256).astype(np.uint8)               # delta blocks
+    img[16:32] = rng.integers(0, 256, (16, w, 3))        # raw blocks
+    img[32:48] = 77                                      # width-0 blocks
+    img[48:] = np.clip(128 + 9 * np.sin(xx / 13.0), 0, 255
+                       ).astype(np.uint8)                # mixed
+    tag, _ = _px2_roundtrip(img)
+    assert tag == "px2"
+
+
+def test_px2_unaligned_nb_falls_back_to_px1():
+    """A block count with no 32-divisible power-of-two split cannot form
+    a meta image; px_pack2 must still return the flat form."""
+    img = np.zeros((34, 96, 3), np.uint8)  # nb = 306
+    tag, _ = _px2_roundtrip(img)
+    assert tag == "px1"
+
+
+def test_px2_respects_cap():
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (64, 1024, 3)).astype(np.uint8)
+    assert native.px_pack2(img, cap_ratio=0.5) is None
+
+
 @pytest.mark.parametrize("fmt", ["uint8", "uint16"])
 def test_e2e_bytes_identical_packed_vs_raw(fmt, monkeypatch):
     """The jax backend's encoded bytes must not depend on the upload
