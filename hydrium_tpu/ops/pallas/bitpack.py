@@ -51,9 +51,11 @@ CB = 128
 import os as _os
 
 # predicate dead deep-barrel passes on the actual max shift (see the
-# kernel body); flip the default to "1" once scripts/tpu_smoke.py has
-# validated the Mosaic cond lowering on real hardware
-PRED = _os.environ.get("HYDRIUM_PLPACK_PRED", "0") == "1"
+# kernel body); default ON since scripts/tpu_smoke.py validated the
+# Mosaic cond lowering on real hardware (2026-08-20 chip session:
+# byte-identical payload, 46085 words, with and without PRED).
+# HYDRIUM_PLPACK_PRED=0 is the kill switch.
+PRED = _os.environ.get("HYDRIUM_PLPACK_PRED", "1") == "1"
 
 
 def _bitrev_indices(n: int) -> np.ndarray:

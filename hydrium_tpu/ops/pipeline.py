@@ -716,6 +716,17 @@ def _bitpack_at(values: jnp.ndarray, nbits: jnp.ndarray, off: jnp.ndarray,
     return words
 
 
+def _compact_cfg(rows: int):
+    """(pre_levels, unroll) for _overwrite_compact by chunk-row count,
+    adopted from the on-chip sweep (scripts/compact_sweep.py, 2026-08-20
+    chip session, 2048^2 LFG shapes): token-shaped 3072-row packs run
+    fastest at (4, 4) = 1.25 ms, residue-shaped 6144-row at (5, 8) =
+    1.33 ms, vs 1.40 / 2.08 ms at the previous static (3, 4).  CPU
+    bit-exactness over the whole (pre_levels, unroll) space is pinned by
+    test_pipeline_jax.py::test_overwrite_compact_levels_exact."""
+    return (5, 8) if rows > 4096 else (4, 4)
+
+
 def _overwrite_compact(chunks: jnp.ndarray, nw: jnp.ndarray,
                        num_words: int, pre_levels: int = 3,
                        unroll: int = 4) -> jnp.ndarray:
@@ -841,7 +852,9 @@ def _bitpack_v3(values: jnp.ndarray, nbits: jnp.ndarray, ch: int, ow: int,
             chunks, chunk_bits, _ok = _onehot_pack_chunks(lanes, qbits,
                                                           ch // 4, ow)
         nw = (chunk_bits + 31) >> 5
-        words = _overwrite_compact(chunks, nw, num_words)
+        pre, unr = _compact_cfg(chunks.shape[0])
+        words = _overwrite_compact(chunks, nw, num_words,
+                                   pre_levels=pre, unroll=unr)
     else:
         off, nw, chunk_bits = _chunk_layout(nbits, ch)
         words = _bitpack_at(values, nbits, off, num_words)
