@@ -78,6 +78,33 @@ def main() -> int:
         print("tpu_smoke: LF stream decode failed", file=sys.stderr)
         return 5
 
+    # 1b. PXPACK v2 upload path: the double-unpack is exact integer
+    # work, so feeding the same pixels through the packed-pixel
+    # executable must produce a bit-identical combined payload on the
+    # same backend
+    from hydrium_tpu.jxl import native
+
+    pxp = native.px_pack2(img, cap_ratio=100.0)
+    if pxp is not None and pxp[0] == "px2":
+        _, words, hdr2, base2, words2, meta_h, meta_w = pxp
+        wpad = np.zeros(words.size + 16, np.uint32)
+        wpad[:words.size] = words
+        w2pad = np.zeros(words2.size + 16, np.uint32)
+        w2pad[:words2.size] = words2
+        out_px = pipeline.encode_lfg_packed_px2(
+            jnp.asarray(wpad), jnp.asarray(hdr2), jnp.asarray(base2),
+            jnp.asarray(w2pad), 256, 256, args[3], args[4], args[5],
+            args[6], ubuf_h=256, ubuf_w=256, meta_h=meta_h, meta_w=meta_w,
+            tok_classes=9, **kwargs)
+        if not np.array_equal(np.asarray(out_px["combined"]), combined):
+            print("tpu_smoke: PX2 UPLOAD PAYLOAD MISMATCH",
+                  file=sys.stderr)
+            return 8
+    else:
+        print("tpu_smoke: px_pack2 did not take the px2 path "
+              "(native lib missing?)", file=sys.stderr)
+        return 9
+
     # 2. LF residuals: packed stream must decode to the unpacked tensor
     lf_u = np.asarray(out_u["lf_res"])[:32, :32]
     if not np.array_equal(parsed["lf_res"], lf_u):

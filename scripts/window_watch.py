@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Tunnel-window watcher: probe the axon tunnel's bandwidth cheaply and
+run the expensive chip work (scale_artifacts, optionally a bench pass)
+only when a good window is open.
+
+The tunnel swings >3x between minutes-long windows and wedges clients
+(CLAUDE.md); blindly launching a 40-minute artifacts run in a bad
+window wastes it (round-4: artifacts timed out at 2400 s in a ~7 MB/s
+window).  This loop:
+
+  1. probes: one fresh child process uploads ~4 MB and fetches ~4 MB,
+     reporting MB/s (timeout => wedged, treated as bandwidth 0);
+  2. on a good probe (>= --min-mbps), runs the requested steps
+     (default: artifacts) in child processes;
+  3. stops when the steps succeed (artifacts: ARTIFACTS.json fresh and
+     config4/config5 above their sanity bars) or --max-hours elapses.
+
+Holds /tmp/hydrium_tpu.lock (flock) around every TPU child so a human
+driving the chip manually can `flock -n` the same file to coordinate.
+One TPU client at a time is a hard rule on this rig.
+
+Usage: python scripts/window_watch.py [--min-mbps 22] [--max-hours 5]
+       [--period-s 300] [--steps artifacts,bench]
+"""
+
+import argparse
+import fcntl
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOCK = "/tmp/hydrium_tpu.lock"
+
+PROBE = r"""
+import time, numpy as np
+import jax, jax.numpy as jnp
+t0 = time.monotonic()
+d = jax.devices()[0]
+up = np.zeros(1 << 20, np.uint32)  # 4 MB
+t1 = time.monotonic()
+a = jax.device_put(jnp.asarray(up))
+a.block_until_ready()
+t2 = time.monotonic()
+b = np.asarray(a)
+t3 = time.monotonic()
+import json
+print(json.dumps({
+    "init_s": round(t1 - t0, 2),
+    "h2d_mbps": round(4.0 / max(t2 - t1, 1e-6), 1),
+    "d2h_mbps": round(4.0 / max(t3 - t2, 1e-6), 1)}))
+"""
+
+
+def _locked_child(cmd, timeout, env=None):
+    """Run cmd while holding the TPU lock; kill the whole child on
+    timeout (exact pid, never pattern)."""
+    with open(LOCK, "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        try:
+            return subprocess.run(cmd, cwd=REPO, timeout=timeout,
+                                  capture_output=True, text=True,
+                                  env=env or os.environ.copy())
+        except subprocess.TimeoutExpired as e:
+            return e
+
+
+def probe(timeout=150):
+    r = _locked_child([sys.executable, "-c", PROBE], timeout)
+    if isinstance(r, subprocess.TimeoutExpired) or r.returncode != 0:
+        return None
+    line = next((l for l in reversed(r.stdout.splitlines())
+                 if l.startswith("{")), None)
+    return json.loads(line) if line else None
+
+
+def artifacts_good():
+    try:
+        a = json.load(open(os.path.join(REPO, "ARTIFACTS.json")))
+    except Exception:
+        return False
+    fresh = time.time() - a.get("generated_unix", 0) < 6 * 3600
+    return (fresh and a.get("config4", {}).get("mpix_s", 0) >= 2.0
+            and a.get("config5_scale", {}).get("mpix_s", 0) >= 2.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--min-mbps", type=float, default=22.0)
+    ap.add_argument("--max-hours", type=float, default=5.0)
+    ap.add_argument("--period-s", type=float, default=300.0)
+    ap.add_argument("--steps", default="artifacts")
+    args = ap.parse_args()
+    steps = args.steps.split(",")
+    deadline = time.monotonic() + args.max_hours * 3600
+    done = set()
+
+    while time.monotonic() < deadline and len(done) < len(steps):
+        p = probe()
+        stamp = time.strftime("%H:%M:%S")
+        if p is None:
+            print(f"{stamp} probe: wedged/slow", flush=True)
+        else:
+            mbps = min(p["h2d_mbps"], p["d2h_mbps"])
+            print(f"{stamp} probe: {p}", flush=True)
+            if mbps >= args.min_mbps:
+                for s in steps:
+                    if s in done:
+                        continue
+                    if s == "artifacts":
+                        print(f"{stamp} window open -> scale_artifacts",
+                              flush=True)
+                        r = _locked_child(
+                            [sys.executable, "scripts/scale_artifacts.py"],
+                            2700)
+                        if not isinstance(r, subprocess.TimeoutExpired):
+                            print(r.stdout[-2000:], flush=True)
+                        if artifacts_good():
+                            done.add(s)
+                            print("artifacts: GOOD, step done", flush=True)
+                    elif s == "bench":
+                        env = dict(os.environ,
+                                   HYDRIUM_BENCH_BUDGET_S="900")
+                        r = _locked_child(
+                            [sys.executable, "bench.py", "2"], 1000, env)
+                        out = getattr(r, "stdout", "") or ""
+                        line = next((l for l in reversed(out.splitlines())
+                                     if l.startswith("{")), None)
+                        print(f"bench: {line}", flush=True)
+                        if line and json.loads(line).get("value", 0) >= 6.0:
+                            done.add(s)
+                    # re-probe between steps: the window may have closed
+                    break
+        time.sleep(args.period_s)
+    print(f"window_watch: finished, done={sorted(done)}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
