@@ -453,6 +453,76 @@ def _feed_hf_packed(hf, parsed, lfg, buf_w: int, buf_h: int, preset: int,
                       parsed["tok_off"], parsed["res_off"], parsed["gs"])
 
 
+def _pxp_pack_upload(px: np.ndarray, sample_fmt: str, stats=None,
+                     ev=None, tag: str = ""):
+    """Host-bitpack a pixel buffer (PXPACK v2, px1 fallback) and upload
+    the packed streams; returns the tagged device tuple _dispatch_px
+    consumes, or None when the content should upload raw.  Shared by
+    the one-frame _JaxDispatch path and the tiled stacked-chunk path."""
+    import contextlib
+
+    import jax.numpy as jnp
+
+    if not _pxpack_on() or sample_fmt not in ("uint8", "uint16"):
+        return None
+    from .jxl import native as _native
+
+    ev = ev or (lambda _n: contextlib.nullcontext())
+    with ev(f"pxpack[{tag}]"):
+        pxp = _native.px_pack2(px)
+    if pxp is None:
+        return None
+    if pxp[0] == "px2":
+        _, words, hdr2, base2, words2, meta_h, meta_w = pxp
+        nw = _bucket_pxwords(max(words.size, 1))
+        wpad = np.zeros(nw, np.uint32)
+        wpad[:words.size] = words
+        nw2 = _bucket_pxwords(max(words2.size, 1), floor=1 << 12)
+        w2pad = np.zeros(nw2, np.uint32)
+        w2pad[:words2.size] = words2
+        with ev(f"h2d[{tag}]"):
+            dev = ("px2", _upload_flat(wpad), jnp.asarray(hdr2),
+                   jnp.asarray(base2), jnp.asarray(w2pad), meta_h, meta_w)
+        if stats is not None:
+            stats.count("pxpack_lfgs")
+            stats.count("pxpack_words", int(words.size))
+            stats.count("pxpack_meta_words",
+                        int(words2.size) + (hdr2.size * 3 + 3) // 4)
+        return dev
+    _, words, hdr, basearr = pxp
+    nw = _bucket_pxwords(max(words.size, 1))
+    wpad = np.zeros(nw, np.uint32)
+    wpad[:words.size] = words
+    with ev(f"h2d[{tag}]"):
+        dev = ("px1", _upload_flat(wpad), jnp.asarray(hdr),
+               jnp.asarray(basearr))
+    if stats is not None:
+        stats.count("pxpack_lfgs")
+        stats.count("pxpack_words", int(words.size))
+    return dev
+
+
+def _dispatch_px(pxp_dev, height, width, presets_dev, cm_dev, lens, codes,
+                 *, ubuf_h: int, ubuf_w: int, wide: bool, kwargs: dict):
+    """Dispatch the packed-pixel pipeline for an uploaded _pxp_pack_upload
+    tuple (px2 or px1 form)."""
+    import jax.numpy as jnp
+    from .ops.pipeline import encode_lfg_packed_px, encode_lfg_packed_px2
+
+    if pxp_dev[0] == "px2":
+        _, words, hdr2, base2, words2, meta_h, meta_w = pxp_dev
+        return encode_lfg_packed_px2(
+            words, hdr2, base2, words2, height, width, presets_dev, cm_dev,
+            jnp.asarray(lens), jnp.asarray(codes), ubuf_h=ubuf_h,
+            ubuf_w=ubuf_w, meta_h=meta_h, meta_w=meta_w,
+            wide_residues=wide, **kwargs)
+    _, words, hdr, basearr = pxp_dev
+    return encode_lfg_packed_px(
+        words, hdr, basearr, height, width, presets_dev, cm_dev,
+        jnp.asarray(lens), jnp.asarray(codes), ubuf_h=ubuf_h,
+        ubuf_w=ubuf_w, wide_residues=wide, **kwargs)
+
+
 class _JaxDispatch:
     """An in-flight LF group on the device (packed-payload path)."""
 
@@ -552,42 +622,11 @@ class _JaxDispatch:
         self.presets_dev = jnp.full((bgcy * bgcx,), self.preset, jnp.int32)
         self.cm_dev = jnp.asarray(self._cm_host)
         px = self._px_host
-        pxp = None
-        if self.will_pack and _pxpack_on() and self._sample_fmt in (
-                "uint8", "uint16"):
-            from .jxl import native as _native
-
-            with ev(f"pxpack[{self._tag}]"):
-                pxp = _native.px_pack2(px)
-        if pxp is not None and pxp[0] == "px2":
-            _, words, hdr2, base2, words2, meta_h, meta_w = pxp
-            nw = _bucket_pxwords(max(words.size, 1))
-            wpad = np.zeros(nw, np.uint32)
-            wpad[:words.size] = words
-            nw2 = _bucket_pxwords(max(words2.size, 1), floor=1 << 12)
-            w2pad = np.zeros(nw2, np.uint32)
-            w2pad[:words2.size] = words2
-            with ev(f"h2d[{self._tag}]"):
-                self._pxp_dev = ("px2", _upload_flat(wpad),
-                                 jnp.asarray(hdr2), jnp.asarray(base2),
-                                 jnp.asarray(w2pad), meta_h, meta_w)
-            if self.stats is not None:
-                self.stats.count("pxpack_lfgs")
-                self.stats.count("pxpack_words", int(words.size))
-                self.stats.count("pxpack_meta_words",
-                                 int(words2.size) + (hdr2.size * 3 + 3) // 4)
-        elif pxp is not None:
-            _, words, hdr, basearr = pxp
-            nw = _bucket_pxwords(max(words.size, 1))
-            wpad = np.zeros(nw, np.uint32)
-            wpad[:words.size] = words
-            with ev(f"h2d[{self._tag}]"):
-                self._pxp_dev = ("px1", _upload_flat(wpad),
-                                 jnp.asarray(hdr), jnp.asarray(basearr))
-            if self.stats is not None:
-                self.stats.count("pxpack_lfgs")
-                self.stats.count("pxpack_words", int(words.size))
-        else:
+        if self.will_pack:
+            self._pxp_dev = _pxp_pack_upload(px, self._sample_fmt,
+                                             stats=self.stats, ev=ev,
+                                             tag=self._tag)
+        if self._pxp_dev is None:
             with ev(f"h2d[{self._tag}]"):
                 self.px = _upload_pixels(px)
         if self.will_pack:
@@ -609,8 +648,7 @@ class _JaxDispatch:
         exactly the table the device packed with, even though the codec
         adapts between dispatches."""
         import jax.numpy as jnp
-        from .ops.pipeline import (encode_lfg_packed, encode_lfg_packed_px,
-                                   encode_lfg_packed_px2)
+        from .ops.pipeline import encode_lfg_packed
 
         from .jxl.tokcode import LF_CLASS
 
@@ -621,22 +659,12 @@ class _JaxDispatch:
         # stream decodes with the LF_CLASS row of the SAME snapshot
         self.tok_lut = lut[:self.kwargs["tok_classes"]]
         self.lf_lut = lut[LF_CLASS]
-        if self._pxp_dev is not None and self._pxp_dev[0] == "px2":
-            _, words, hdr2, base2, words2, meta_h, meta_w = self._pxp_dev
-            self.out = encode_lfg_packed_px2(
-                words, hdr2, base2, words2, self.lfg.height, self.lfg.width,
-                self.presets_dev, self.cm_dev, jnp.asarray(lens),
-                jnp.asarray(codes), ubuf_h=self._ubuf[0],
-                ubuf_w=self._ubuf[1], meta_h=meta_h, meta_w=meta_w,
-                wide_residues=self._wide, **self.kwargs)
-        elif self._pxp_dev is not None:
-            _, words, hdr, basearr = self._pxp_dev
-            self.out = encode_lfg_packed_px(
-                words, hdr, basearr, self.lfg.height, self.lfg.width,
-                self.presets_dev, self.cm_dev, jnp.asarray(lens),
-                jnp.asarray(codes), ubuf_h=self._ubuf[0],
-                ubuf_w=self._ubuf[1], wide_residues=self._wide,
-                **self.kwargs)
+        if self._pxp_dev is not None:
+            self.out = _dispatch_px(
+                self._pxp_dev, self.lfg.height, self.lfg.width,
+                self.presets_dev, self.cm_dev, lens, codes,
+                ubuf_h=self._ubuf[0], ubuf_w=self._ubuf[1],
+                wide=self._wide, kwargs=self.kwargs)
         else:
             self.out = encode_lfg_packed(
                 self.px, self.lfg.height, self.lfg.width, self.presets_dev,
@@ -1248,11 +1276,23 @@ class Encoder:
                 px[j * th:(j + 1) * th] = pixels[:th, :tw]
             lens, codes, lut = self._codec.tables()
             bh = K_stack * th
+            # packed pixel upload (same as the one-frame path; the
+            # stacked chunk is its own ubuf: full-size tiles, no pad)
+            pxp_dev = _pxp_pack_upload(px, fmt, stats=self.stats,
+                                       ev=self.stats.event, tag="tb")
             with self.stats.stage("dispatch"):
-                out = encode_lfg_packed(
-                    _upload_pixels(px), bh, tw,
-                    jnp.zeros(((bh >> 8) * gcx,), jnp.int32),
-                    cm_dev, jnp.asarray(lens), jnp.asarray(codes), **kwargs)
+                if pxp_dev is not None:
+                    out = _dispatch_px(
+                        pxp_dev, bh, tw,
+                        jnp.zeros(((bh >> 8) * gcx,), jnp.int32),
+                        cm_dev, lens, codes, ubuf_h=bh, ubuf_w=tw,
+                        wide=False, kwargs=kwargs)
+                else:
+                    out = encode_lfg_packed(
+                        _upload_pixels(px), bh, tw,
+                        jnp.zeros(((bh >> 8) * gcx,), jnp.int32),
+                        cm_dev, jnp.asarray(lens), jnp.asarray(codes),
+                        **kwargs)
             unit = {"kind": "chunk", "px": px, "result": None,
                     # metas only -- the caller's pixel views are already
                     # copied into px; retaining them would pin whole
