@@ -207,8 +207,9 @@ def px_pack2(px: np.ndarray, cap_ratio: float = 0.97,
     """PXPACK v2: two-level packed pixel upload.  Level 1 bitpacks the
     pixels (hyd_px_pack); level 2 re-packs level 1's (hdr, base) arrays
     -- 3 bytes per 32-pixel block, which DOMINATE the upload on smooth
-    content -- through the same kernel, viewed as a [nb/1024, 1024, 3]
-    meta image with channels (width, base_lo, base_hi<<1|delta_mode).
+    content -- through the same kernel, viewed as a [nb/W, W, 3] meta
+    image (W = _px2_meta_w(nb), usually 1024) with channels
+    (width, base_lo, base_hi<<1|delta_mode).
     The mode bit rides base_hi's low bit (not hdr bit 7) so mixed-mode
     regions stay compressible.  The device reverses both levels in
     ops/pipeline.encode_lfg_packed_px2 -- the two sides share this
