@@ -39,18 +39,23 @@ import time, numpy as np
 import jax, jax.numpy as jnp
 t0 = time.monotonic()
 d = jax.devices()[0]
-up = np.zeros(1 << 20, np.uint32)  # 4 MB
+# random payload: the tunnel's transport compression must not let a
+# zeros probe overreport the bandwidth real pixel data will see
+up = np.frombuffer(np.random.default_rng(0).bytes(4 << 20), np.uint32).copy()
+zz = np.zeros(1 << 20, np.uint32)
 t1 = time.monotonic()
-a = jax.device_put(jnp.asarray(up))
-a.block_until_ready()
+a = jax.device_put(up); a.block_until_ready()
 t2 = time.monotonic()
+az = jax.device_put(zz); az.block_until_ready()
+t2z = time.monotonic()
 b = np.asarray(a)
 t3 = time.monotonic()
 import json
 print(json.dumps({
     "init_s": round(t1 - t0, 2),
     "h2d_mbps": round(4.0 / max(t2 - t1, 1e-6), 1),
-    "d2h_mbps": round(4.0 / max(t3 - t2, 1e-6), 1)}))
+    "h2d_zeros_mbps": round(4.0 / max(t2z - t2, 1e-6), 1),
+    "d2h_mbps": round(4.0 / max(t3 - t2z, 1e-6), 1)}))
 """
 
 
