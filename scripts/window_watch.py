@@ -131,6 +131,12 @@ def main():
                         r = _locked_child(
                             [sys.executable, "bench.py", "2"], 1000, env)
                         out = getattr(r, "stdout", "") or ""
+                        err = getattr(r, "stderr", "") or ""
+                        if isinstance(err, bytes):
+                            err = err.decode("utf-8", "replace")
+                        # keep the stage breakdown for analysis
+                        with open("/tmp/window_watch_bench.err", "w") as f:
+                            f.write(err)
                         line = next((l for l in reversed(out.splitlines())
                                      if l.startswith("{")), None)
                         print(f"bench: {line}", flush=True)
