@@ -1280,19 +1280,23 @@ class Encoder:
             # stacked chunk is its own ubuf: full-size tiles, no pad)
             pxp_dev = _pxp_pack_upload(px, fmt, stats=self.stats,
                                        ev=self.stats.event, tag="tb")
+            # sticky per-(shape, format) wideness, same policy as
+            # _JaxDispatch: once one chunk needed wide residues, later
+            # chunks skip the doomed narrow dispatch
+            wide = _JaxDispatch._WIDE_HINT.get((bh, tw, fmt), False)
             with self.stats.stage("dispatch"):
                 if pxp_dev is not None:
                     out = _dispatch_px(
                         pxp_dev, bh, tw,
                         jnp.zeros(((bh >> 8) * gcx,), jnp.int32),
                         cm_dev, lens, codes, ubuf_h=bh, ubuf_w=tw,
-                        wide=False, kwargs=kwargs)
+                        wide=wide, kwargs=kwargs)
                 else:
                     out = encode_lfg_packed(
                         _upload_pixels(px), bh, tw,
                         jnp.zeros(((bh >> 8) * gcx,), jnp.int32),
                         cm_dev, jnp.asarray(lens), jnp.asarray(codes),
-                        **kwargs)
+                        wide_residues=wide, **kwargs)
             unit = {"kind": "chunk", "px": px, "result": None,
                     # metas only -- the caller's pixel views are already
                     # copied into px; retaining them would pin whole
@@ -1315,15 +1319,29 @@ class Encoder:
                                 out["combined"], bh, tw, stats=self.stats,
                                 hint_words=hint)
                         if aux is not None and int(aux[0]) == 2:
-                            # dense residues: one retry, wide executable
+                            # dense residues: one retry on the wide
+                            # executable, reusing the packed upload
+                            # already on device (re-uploading the raw
+                            # stacked chunk would push tens of MB over
+                            # the half-duplex tunnel for nothing)
+                            _JaxDispatch._WIDE_HINT[(bh, tw, fmt)] = True
                             with self.stats.stage("dispatch"):
-                                out = encode_lfg_packed(
-                                    jnp.asarray(px), bh, tw,
-                                    jnp.zeros(((bh >> 8) * gcx,),
-                                              jnp.int32),
-                                    cm_dev, jnp.asarray(lens),
-                                    jnp.asarray(codes),
-                                    wide_residues=True, **kwargs)
+                                if pxp_dev is not None:
+                                    out = _dispatch_px(
+                                        pxp_dev, bh, tw,
+                                        jnp.zeros(((bh >> 8) * gcx,),
+                                                  jnp.int32),
+                                        cm_dev, lens, codes, ubuf_h=bh,
+                                        ubuf_w=tw, wide=True,
+                                        kwargs=kwargs)
+                                else:
+                                    out = encode_lfg_packed(
+                                        jnp.asarray(px), bh, tw,
+                                        jnp.zeros(((bh >> 8) * gcx,),
+                                                  jnp.int32),
+                                        cm_dev, jnp.asarray(lens),
+                                        jnp.asarray(codes),
+                                        wide_residues=True, **kwargs)
                             self.stats.count("wide_retries")
                             with self.stats.event("tb_fetch"):
                                 aux, words = fetch_packed_payload(

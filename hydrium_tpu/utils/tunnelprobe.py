@@ -1,0 +1,54 @@
+"""Shared tunnel bandwidth probe (dev-rig diagnostic).
+
+One copy of the probe child source so bench.py and
+scripts/window_watch.py cannot drift: the probe MUST use random bytes
+-- the axon tunnel's transport compression ships zeros ~20x faster than
+real data (CLAUDE.md) -- and both consumers need the same JSON keys.
+
+Keys: h2d, d2h (MB/s, random 4 MB payload), h2d_zeros (MB/s, 4 MB of
+zeros -- the transport-compression ceiling), init_s (jax/device init).
+"""
+
+import json
+import subprocess
+import sys
+
+PROBE_SRC = r"""
+import time, json, numpy as np
+import jax
+t0 = time.monotonic()
+jax.devices()
+up = np.frombuffer(np.random.default_rng(0).bytes(4 << 20),
+                   np.uint32).copy()
+zz = np.zeros(1 << 20, np.uint32)
+t1 = time.monotonic()
+a = jax.device_put(up); a.block_until_ready()
+t2 = time.monotonic()
+az = jax.device_put(zz); az.block_until_ready()
+t2z = time.monotonic()
+b = np.asarray(a)
+t3 = time.monotonic()
+print(json.dumps({
+    "init_s": round(t1 - t0, 2),
+    "h2d": round(4.0 / max(t2 - t1, 1e-6), 1),
+    "h2d_zeros": round(4.0 / max(t2z - t2, 1e-6), 1),
+    "d2h": round(4.0 / max(t3 - t2z, 1e-6), 1)}))
+"""
+
+
+def run_probe(timeout: float = 150.0):
+    """Run the probe in a fresh child process (a wedged client must not
+    take the caller down); dict on success, None on wedge/failure."""
+    try:
+        r = subprocess.run([sys.executable, "-c", PROBE_SRC],
+                           capture_output=True, text=True, timeout=timeout)
+    except (subprocess.TimeoutExpired, OSError):
+        return None
+    if r.returncode != 0:
+        return None
+    line = next((l for l in reversed(r.stdout.splitlines())
+                 if l.startswith("{")), None)
+    try:
+        return json.loads(line) if line else None
+    except json.JSONDecodeError:
+        return None

@@ -34,31 +34,6 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOCK = "/tmp/hydrium_tpu.lock"
 
-PROBE = r"""
-import time, numpy as np
-import jax, jax.numpy as jnp
-t0 = time.monotonic()
-d = jax.devices()[0]
-# random payload: the tunnel's transport compression must not let a
-# zeros probe overreport the bandwidth real pixel data will see
-up = np.frombuffer(np.random.default_rng(0).bytes(4 << 20), np.uint32).copy()
-zz = np.zeros(1 << 20, np.uint32)
-t1 = time.monotonic()
-a = jax.device_put(up); a.block_until_ready()
-t2 = time.monotonic()
-az = jax.device_put(zz); az.block_until_ready()
-t2z = time.monotonic()
-b = np.asarray(a)
-t3 = time.monotonic()
-import json
-print(json.dumps({
-    "init_s": round(t1 - t0, 2),
-    "h2d_mbps": round(4.0 / max(t2 - t1, 1e-6), 1),
-    "h2d_zeros_mbps": round(4.0 / max(t2z - t2, 1e-6), 1),
-    "d2h_mbps": round(4.0 / max(t3 - t2z, 1e-6), 1)}))
-"""
-
-
 def _locked_child(cmd, timeout, env=None):
     """Run cmd while holding the TPU lock; kill the whole child on
     timeout (exact pid, never pattern)."""
@@ -73,12 +48,15 @@ def _locked_child(cmd, timeout, env=None):
 
 
 def probe(timeout=150):
-    r = _locked_child([sys.executable, "-c", PROBE], timeout)
-    if isinstance(r, subprocess.TimeoutExpired) or r.returncode != 0:
-        return None
-    line = next((l for l in reversed(r.stdout.splitlines())
-                 if l.startswith("{")), None)
-    return json.loads(line) if line else None
+    """Shared probe (hydrium_tpu.utils.tunnelprobe) under the TPU lock."""
+    import fcntl as _f
+
+    sys.path.insert(0, REPO)
+    from hydrium_tpu.utils.tunnelprobe import run_probe
+
+    with open(LOCK, "w") as lk:
+        _f.flock(lk, _f.LOCK_EX)
+        return run_probe(timeout)
 
 
 def artifacts_good():
@@ -108,7 +86,7 @@ def main():
         if p is None:
             print(f"{stamp} probe: wedged/slow", flush=True)
         else:
-            mbps = min(p["h2d_mbps"], p["d2h_mbps"])
+            mbps = min(p["h2d"], p["d2h"])
             print(f"{stamp} probe: {p}", flush=True)
             if mbps >= args.min_mbps:
                 for s in steps:
@@ -130,8 +108,12 @@ def main():
                                    HYDRIUM_BENCH_BUDGET_S="900")
                         r = _locked_child(
                             [sys.executable, "bench.py", "2"], 1000, env)
+                        # TimeoutExpired captures bytes even with
+                        # text=True; decode both streams before parsing
                         out = getattr(r, "stdout", "") or ""
                         err = getattr(r, "stderr", "") or ""
+                        if isinstance(out, bytes):
+                            out = out.decode("utf-8", "replace")
                         if isinstance(err, bytes):
                             err = err.decode("utf-8", "replace")
                         # keep the stage breakdown for analysis
@@ -140,7 +122,11 @@ def main():
                         line = next((l for l in reversed(out.splitlines())
                                      if l.startswith("{")), None)
                         print(f"bench: {line}", flush=True)
-                        if line and json.loads(line).get("value", 0) >= 6.0:
+                        try:
+                            got = json.loads(line) if line else {}
+                        except json.JSONDecodeError:
+                            got = {}
+                        if got.get("value", 0) >= 6.0:
                             done.add(s)
                     # re-probe between steps: the window may have closed
                     break

@@ -345,3 +345,55 @@ def test_tiled_batch_fetch_failure_falls_back_per_tile(monkeypatch):
     assert calls["n"] >= 1
     assert enc2.stats.counters.get("prefetch_errors", 0) >= 1
     assert bytes(out2) == bytes(ref_out)
+
+
+def test_tiled_batch_wide_retry_reuses_packed_upload(monkeypatch):
+    """An injected ok=2 on a stacked chunk must re-dispatch the WIDE
+    executable from the packed upload already on device (not re-upload
+    raw pixels), set the sticky wide hint, and produce identical bytes."""
+    import hydrium_tpu.encoder as enc_mod
+
+    rng = np.random.default_rng(12)
+    xx = np.arange(1024, dtype=np.float32)[None, :, None]
+    img = np.clip(128 + 90 * np.sin(xx / 41.0)
+                  + rng.normal(0, 6, (256, 1024, 3)), 0,
+                  255).astype(np.uint8)
+
+    meta = ImageMetadata(width=1024, height=256,
+                         tile_size_shift_x=0, tile_size_shift_y=0)
+    ref_enc = Encoder(meta, backend="jax")
+    ref_enc.send_tile_batch([(img[:, tx*256:(tx+1)*256], tx, 0)
+                             for tx in range(4)],
+                            sample_fmt=SampleFormat.UINT8)
+    ref_out = ref_enc.take_output()
+
+    real_fetch = enc_mod.fetch_packed_payload
+    forced = {"n": 0}
+
+    def inject(combined, bh, bw, stats=None, hint_words=0):
+        aux, words = real_fetch(combined, bh, bw, stats=stats,
+                                hint_words=hint_words)
+        if forced["n"] == 0 and bh > 256 and aux is not None:
+            forced["n"] = 1
+            aux = aux.copy()
+            aux[0] = 2          # "retry with wide_residues"
+            return aux, None
+        return aux, words
+
+    monkeypatch.setattr(enc_mod, "fetch_packed_payload", inject)
+    monkeypatch.setattr(enc_mod._JaxDispatch, "_WIDE_HINT", {})
+    meta2 = ImageMetadata(width=1024, height=256,
+                          tile_size_shift_x=0, tile_size_shift_y=0)
+    enc2 = Encoder(meta2, backend="jax")
+    enc2.send_tile_batch([(img[:, tx*256:(tx+1)*256], tx, 0)
+                          for tx in range(4)],
+                         sample_fmt=SampleFormat.UINT8)
+    out2 = enc2.take_output()
+    assert forced["n"] == 1
+    assert enc2.stats.counters.get("wide_retries", 0) == 1
+    # the chunk content packs, so the retry must have reused the
+    # packed upload (counter unchanged between ref and injected runs)
+    assert enc2.stats.counters.get("pxpack_lfgs", 0) \
+        == ref_enc.stats.counters.get("pxpack_lfgs", 0) > 0
+    assert enc_mod._JaxDispatch._WIDE_HINT  # sticky hint recorded
+    assert bytes(out2) == bytes(ref_out)
