@@ -336,6 +336,10 @@ def _measure(img, iters, label, tile_shift=-1):
                              tile_size_shift_y=tile_shift)
         ts = 2048 if tile_shift < 0 else meta.tile_width
         enc = Encoder(meta, backend="jax")
+        if os.environ.get("HYDRIUM_BENCH_TIMELINE", "0") == "1":
+            # per-event cross-thread timeline on stderr (used to dissect
+            # fetch_wait composition in a known-good tunnel window)
+            enc.stats.enable_timeline()
         t0 = time.perf_counter()
         out = bytearray()
         for ty in range((img.shape[0] + ts - 1) // ts):
@@ -362,6 +366,9 @@ def _measure(img, iters, label, tile_shift=-1):
     assert data[:2] == b"\xff\x0a" or data[4:8] == b"JXL ", data[:8].hex()
     print(f"bench[{label}]: stage breakdown (best iter):\n"
           + stats.summary(), file=sys.stderr, flush=True)
+    if os.environ.get("HYDRIUM_BENCH_TIMELINE", "0") == "1":
+        print(f"bench[{label}]: timeline (best iter):\n"
+              + stats.timeline(), file=sys.stderr, flush=True)
     return pixels / best / 1e6, stats
 
 
