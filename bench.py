@@ -372,6 +372,17 @@ def _measure(img, iters, label, tile_shift=-1):
     return pixels / best / 1e6, stats
 
 
+def _wire_bpp(stats, pixels: int) -> float:
+    """Total bits that crossed the tunnel per pixel on the best
+    iteration (h2d packed words + packed meta + raw uploads, plus d2h
+    fetched payload words) -- a window-INDEPENDENT transport-efficiency
+    number, unlike the throughput scores."""
+    c = stats.counters
+    wire = (4 * c.get("pxpack_words", 0) + 4 * c.get("pxpack_meta_words", 0)
+            + c.get("h2d_raw_bytes", 0) + 4 * c.get("fetched_words", 0))
+    return round(8.0 * wire / pixels, 2)
+
+
 def main():
     from hydrium_tpu import encode_image
 
@@ -399,8 +410,10 @@ def main():
     # codec is smooth-trained at this point, as it would be in any
     # steady smooth workload); payload is tiny so this is the
     # h2d-bound number
-    smooth_mpps, _ = _measure(smooth, max(3, iters // 2 + 1), "smooth")
+    smooth_mpps, s_st = _measure(smooth, max(3, iters // 2 + 1), "smooth")
     result["smooth_mpix_s"] = round(smooth_mpps, 3)
+    result["smooth_wire_bpp"] = _wire_bpp(
+        s_st, smooth.shape[0] * smooth.shape[1])
     result["smooth_vs_baseline"] = round(smooth_mpps / BASELINE_SMOOTH_MPPS,
                                          2)
     result["smooth_vs_ref_same_mode"] = round(
@@ -410,8 +423,9 @@ def main():
     # one throwaway noisy encode re-adapts the codec and loads the
     # noisy-size fetch buckets before the measured run
     encode_image(img, tile_size_shift=-1, backend="jax")
-    mpps, _ = _measure(img, iters, "noisy")
+    mpps, n_st = _measure(img, iters, "noisy")
     result["value"] = round(mpps, 3)
+    result["wire_bpp"] = _wire_bpp(n_st, img.shape[0] * img.shape[1])
     result["vs_baseline"] = round(mpps / BASELINE_MPPS, 2)
     result["vs_ref_same_mode"] = round(mpps / BASELINE_1F_MPPS, 2)
     print(json.dumps(result), flush=True)

@@ -499,6 +499,8 @@ def _pxp_pack_upload(px: np.ndarray, sample_fmt: str, stats=None,
     if stats is not None:
         stats.count("pxpack_lfgs")
         stats.count("pxpack_words", int(words.size))
+        stats.count("pxpack_meta_words",
+                    (hdr.nbytes + basearr.nbytes + 3) // 4)
     return dev
 
 
@@ -629,6 +631,8 @@ class _JaxDispatch:
         if self._pxp_dev is None:
             with ev(f"h2d[{self._tag}]"):
                 self.px = _upload_pixels(px)
+            if self.stats is not None:
+                self.stats.count("h2d_raw_bytes", px.nbytes)
         if self.will_pack:
             # dispatch is async (jax returns futures); transfers start at
             # drain time.  NOTE: Array.copy_to_host_async() is broken on
@@ -835,6 +839,8 @@ class _JaxDispatch:
             # the raw pixels were never uploaded (packed-pixel upload
             # path); the unpacked fallback needs them
             self.px = _upload_pixels(self._px_host)
+            if stats is not None:
+                stats.count("h2d_raw_bytes", self._px_host.nbytes)
         out = encode_lfg(self.px, lfg.height, lfg.width, self.presets_dev,
                          self.cm_dev, **kw)
         lf_q = np.asarray(out["lf_q"])[:vh, :vw]
@@ -1292,6 +1298,7 @@ class Encoder:
                         cm_dev, lens, codes, ubuf_h=bh, ubuf_w=tw,
                         wide=wide, kwargs=kwargs)
                 else:
+                    self.stats.count("h2d_raw_bytes", px.nbytes)
                     out = encode_lfg_packed(
                         _upload_pixels(px), bh, tw,
                         jnp.zeros(((bh >> 8) * gcx,), jnp.int32),
