@@ -15,6 +15,7 @@ import sys
 
 PROBE_SRC = r"""
 import time, json, numpy as np
+from concurrent.futures import ThreadPoolExecutor
 import jax
 t0 = time.monotonic()
 jax.devices()
@@ -28,11 +29,21 @@ az = jax.device_put(zz); az.block_until_ready()
 t2z = time.monotonic()
 b = np.asarray(a)
 t3 = time.monotonic()
+# striped d2h mirrors the encoder's production fetch pattern
+# (8 concurrent slice reads, encoder._fetch_range); the single-stream
+# number above understates what payload fetches actually get
+pool = ThreadPoolExecutor(max_workers=8)
+n = a.shape[0] // 8
+t3s = time.monotonic()
+parts = list(pool.map(lambda i: np.asarray(a[i * n:(i + 1) * n]),
+                      range(8)))
+t4 = time.monotonic()
 print(json.dumps({
     "init_s": round(t1 - t0, 2),
     "h2d": round(4.0 / max(t2 - t1, 1e-6), 1),
     "h2d_zeros": round(4.0 / max(t2z - t2, 1e-6), 1),
-    "d2h": round(4.0 / max(t3 - t2z, 1e-6), 1)}))
+    "d2h": round(4.0 / max(t3 - t2z, 1e-6), 1),
+    "d2h_striped": round(4.0 / max(t4 - t3s, 1e-6), 1)}))
 """
 
 

@@ -86,7 +86,8 @@ def main():
         if p is None:
             print(f"{stamp} probe: wedged/slow", flush=True)
         else:
-            mbps = min(p["h2d"], p["d2h"])
+            # gate on what production sees: striped d2h, single h2d
+            mbps = min(p["h2d"], p.get("d2h_striped", p["d2h"]))
             print(f"{stamp} probe: {p}", flush=True)
             if mbps >= args.min_mbps:
                 for s in steps:
