@@ -861,43 +861,22 @@ def _bitpack_v3(values: jnp.ndarray, nbits: jnp.ndarray, ch: int, ow: int,
     return words, nw, chunk_bits
 
 
-@partial(jax.jit, static_argnames=("buf_h", "buf_w", "linear_light",
-                                   "num_clusters", "sample_kind",
-                                   "use_pallas", "lf_seg_vb",
-                                   "tok_classes", "wide_residues"))
-def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
-                      cluster_map: jnp.ndarray, tok_len: jnp.ndarray,
-                      tok_code: jnp.ndarray, *, buf_h: int, buf_w: int,
-                      linear_light: bool, num_clusters: int,
-                      sample_kind: str,
-                      use_pallas: bool = False,
-                      lf_seg_vb: int = 0,
-                      tok_classes: int = 9,
-                      wide_residues: bool = False) -> Dict[str, jnp.ndarray]:
-    """encode_lfg + on-device stream packing to minimize interconnect
-    traffic (payload format v3, see module comment above).
+def _hf_transport_streams(out, tok_len: jnp.ndarray, tok_code: jnp.ndarray,
+                          tok_classes: int):
+    """Stage 1 of the packed tail: flatten HF tokens/residues, apply the
+    transport code, and build the sampled per-class histogram.
 
-    tok_len[9*64]/tok_code[9*64]: per-cluster transport Huffman codes
-    for the token stream (jxl/tokcode.py), LSB-first codewords, lengths
-    1..12, indexed class*64+token where class = cluster % tok_classes
-    (the within-preset cluster id; tok_classes = clusters per preset,
-    9/3/2/1 per tables.hf_cluster_map).  ok=2 asks for a wide retry (a
-    residue chunk denser than the fast aggregate budget, or any field
-    wider than RES_CAP_FAST); ok drops to 0 (-> unpacked fallback) only
-    when a token exceeds the 64-symbol transport alphabet or residues
-    overflow even the wide budget; LF residuals can no longer overflow
-    (their field width is dynamic)."""
-    out = encode_lfg(pixels, height, width, presets, cluster_map,
-                     buf_h=buf_h, buf_w=buf_w, linear_light=linear_light,
-                     num_clusters=num_clusters, sample_kind=sample_kind,
-                     use_pallas=use_pallas, lf_seg_vb=lf_seg_vb,
-                     clusters_per_preset=tok_classes)
+    Pure code motion out of encode_lfg_packed (the traced program -- and
+    with it the persistent-compile-cache key -- is unchanged; verified
+    by cache-entry comparison).  The split exists so
+    scripts/pack_profile.py can time cumulative stage prefixes of the
+    REAL production code instead of a drifting replica.
+    Returns (t_flat, t_bits, hist64, r_flat, r_bits, tok_ok)."""
     tokens = out["tokens"]            # [N, 64] u16
     residues = out["residues"]        # [N, 64] u32
     residue_bits = out["residue_bits"]
     valid_len = out["valid_len"]      # [N]
     N = valid_len.shape[0]
-    G = N // (1024 * 3)
     M = N * 64
 
     valid = (jnp.arange(64)[None, :] < valid_len[:, None])
@@ -980,7 +959,16 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
             m_h) * HS
     r_flat = jnp.where(valid, residues, 0).reshape(M)
     r_bits = jnp.where(valid, residue_bits.astype(jnp.int32), 0).reshape(M)
+    return t_flat, t_bits, hist64, r_flat, r_bits, tok_ok
 
+
+def _hf_pack_streams(t_flat, t_bits, r_flat, r_bits, M: int,
+                     wide_residues: bool):
+    """Stage 2 of the packed tail: format-v3 chunk packing of the HF
+    token/residue streams (stage split of encode_lfg_packed; pure code
+    motion, see _hf_transport_streams).  Returns (tok_words, tok_nw,
+    res_words, res_nw, res_cb, tok_total, res_total, res_okc,
+    tok_cap_words, res_cap_words)."""
     # format v3 packing: fields into word-aligned chunks (the MXU form
     # quad-combines adjacent fields first).  Tokens can never overflow
     # their chunk (transport MAX_LEN 8 * 4096 slots = 1024 words <=
@@ -1008,13 +996,16 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
     # flag -- format semantics -- never depends on the compute path
     res_fit = jnp.all(r_bits <= res_cap)
     res_okc = jnp.all(res_cb <= (res_ow - res_lanes) * 32) & res_fit
+    return (tok_words, tok_nw, res_words, res_nw, res_cb, tok_total,
+            res_total, res_okc, tok_cap_words, res_cap_words)
 
-    per_group_syms = valid_len.reshape(G, -1).sum(axis=1).astype(jnp.int32)
-    # per-group PADDED totals (multiples of 32) so host offsets stay
-    # plain cumulative sums; chunks never straddle a group
-    per_group_rbits = 32 * res_nw.reshape(G, -1).sum(axis=1).astype(jnp.int32)
-    per_group_tbits = 32 * tok_nw.reshape(G, -1).sum(axis=1).astype(jnp.int32)
 
+def _lf_pack_stream(out, tok_len: jnp.ndarray, tok_code: jnp.ndarray,
+                    wide_residues: bool):
+    """Stage 3 of the packed tail: the format-v4 LF residual stream
+    (stage split of encode_lfg_packed; pure code motion, see
+    _hf_transport_streams).  Returns (lf_words, lf_total, hist_lf,
+    lf_tok_ok, lf_fit_fast, lf_fit_wide, lf_cap_words)."""
     # LF residuals (format v4): hybrid-uint tokens under transport class
     # 9 + raw residue bits, one contiguous field per value (code first).
     # ~45% smaller than the former dynamic fixed-width fields on real
@@ -1075,6 +1066,60 @@ def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
             lf_words, lf_total = _bitpack(
                 lf_lo, jnp.where(lf_nbits <= 32, lf_nbits, 0),
                 lf_cap_words)
+    return (lf_words, lf_total, hist_lf, lf_tok_ok, lf_fit_fast,
+            lf_fit_wide, lf_cap_words)
+
+
+@partial(jax.jit, static_argnames=("buf_h", "buf_w", "linear_light",
+                                   "num_clusters", "sample_kind",
+                                   "use_pallas", "lf_seg_vb",
+                                   "tok_classes", "wide_residues"))
+def encode_lfg_packed(pixels: jnp.ndarray, height, width, presets: jnp.ndarray,
+                      cluster_map: jnp.ndarray, tok_len: jnp.ndarray,
+                      tok_code: jnp.ndarray, *, buf_h: int, buf_w: int,
+                      linear_light: bool, num_clusters: int,
+                      sample_kind: str,
+                      use_pallas: bool = False,
+                      lf_seg_vb: int = 0,
+                      tok_classes: int = 9,
+                      wide_residues: bool = False) -> Dict[str, jnp.ndarray]:
+    """encode_lfg + on-device stream packing to minimize interconnect
+    traffic (payload format v3, see module comment above).
+
+    tok_len[9*64]/tok_code[9*64]: per-cluster transport Huffman codes
+    for the token stream (jxl/tokcode.py), LSB-first codewords, lengths
+    1..12, indexed class*64+token where class = cluster % tok_classes
+    (the within-preset cluster id; tok_classes = clusters per preset,
+    9/3/2/1 per tables.hf_cluster_map).  ok=2 asks for a wide retry (a
+    residue chunk denser than the fast aggregate budget, or any field
+    wider than RES_CAP_FAST); ok drops to 0 (-> unpacked fallback) only
+    when a token exceeds the 64-symbol transport alphabet or residues
+    overflow even the wide budget; LF residuals can no longer overflow
+    (their field width is dynamic)."""
+    out = encode_lfg(pixels, height, width, presets, cluster_map,
+                     buf_h=buf_h, buf_w=buf_w, linear_light=linear_light,
+                     num_clusters=num_clusters, sample_kind=sample_kind,
+                     use_pallas=use_pallas, lf_seg_vb=lf_seg_vb,
+                     clusters_per_preset=tok_classes)
+    valid_len = out["valid_len"]      # [N]
+    N = valid_len.shape[0]
+    G = N // (1024 * 3)
+    M = N * 64
+
+    t_flat, t_bits, hist64, r_flat, r_bits, tok_ok = \
+        _hf_transport_streams(out, tok_len, tok_code, tok_classes)
+    (tok_words, tok_nw, res_words, res_nw, res_cb, tok_total, res_total,
+     res_okc, tok_cap_words, res_cap_words) = _hf_pack_streams(
+        t_flat, t_bits, r_flat, r_bits, M, wide_residues)
+
+    per_group_syms = valid_len.reshape(G, -1).sum(axis=1).astype(jnp.int32)
+    # per-group PADDED totals (multiples of 32) so host offsets stay
+    # plain cumulative sums; chunks never straddle a group
+    per_group_rbits = 32 * res_nw.reshape(G, -1).sum(axis=1).astype(jnp.int32)
+    per_group_tbits = 32 * tok_nw.reshape(G, -1).sum(axis=1).astype(jnp.int32)
+
+    (lf_words, lf_total, hist_lf, lf_tok_ok, lf_fit_fast, lf_fit_wide,
+     lf_cap_words) = _lf_pack_stream(out, tok_len, tok_code, wide_residues)
 
     lf_ok = lf_tok_ok & (lf_fit_wide if wide_residues else lf_fit_fast)
     ok_full = tok_ok & res_okc & lf_ok

@@ -206,6 +206,76 @@ def main(iters: int = 30) -> dict:
 
     timeit("lf_pack_shape", lf_shape, lfv)
 
+    # --- cumulative composition of the REAL production stage helpers
+    # (the pure-code-motion split of encode_lfg_packed; cache keys
+    # unchanged).  Deltas between consecutive rows attribute the FULL
+    # pipeline's composed cost -- fusion effects included -- which the
+    # standalone stages above cannot: full_packed has historically run
+    # ~10 ms above the sum of the isolated stages.
+    def cum_front(c, p):
+        o = P.encode_lfg(p, 2048 + c, 2048, presets, cm_d,
+                         clusters_per_preset=9, **kw)
+        return (jnp.sum(o["tokens"].astype(jnp.float32))
+                + jnp.sum(o["residues"].astype(jnp.float32))
+                + jnp.sum(o["lf_res"].astype(jnp.float32)))
+
+    timeit("cum1_front", cum_front, px)
+
+    def cum_transport(c, p):
+        o = P.encode_lfg(p, 2048 + c, 2048, presets, cm_d,
+                         clusters_per_preset=9, **kw)
+        t_flat, t_bits, h64, r_flat, r_bits, ok = P._hf_transport_streams(
+            o, lens_d, codes_d, 9)
+        return (jnp.sum(t_flat.astype(jnp.float32))
+                + jnp.sum(t_bits.astype(jnp.float32))
+                + jnp.sum(h64.astype(jnp.float32))
+                + jnp.sum(r_flat.astype(jnp.float32))
+                + jnp.sum(r_bits.astype(jnp.float32))
+                + ok.astype(jnp.float32)
+                + jnp.sum(o["lf_res"].astype(jnp.float32)))
+
+    timeit("cum2_transport", cum_transport, px)
+
+    def cum_packs(c, p):
+        o = P.encode_lfg(p, 2048 + c, 2048, presets, cm_d,
+                         clusters_per_preset=9, **kw)
+        t_flat, t_bits, h64, r_flat, r_bits, ok = P._hf_transport_streams(
+            o, lens_d, codes_d, 9)
+        M_ = t_flat.shape[0]
+        (tw_, tn_, rw_, rn_, rcb_, tt_, rt_, rok_, _tc,
+         _rc) = P._hf_pack_streams(t_flat, t_bits, r_flat, r_bits, M_,
+                                   False)
+        return (jnp.sum(tw_.astype(jnp.float32))
+                + jnp.sum(rw_.astype(jnp.float32))
+                + jnp.sum(h64.astype(jnp.float32))
+                + tt_.astype(jnp.float32) + rt_.astype(jnp.float32)
+                + rok_.astype(jnp.float32)
+                + jnp.sum(o["lf_res"].astype(jnp.float32)))
+
+    timeit("cum3_packs", cum_packs, px)
+
+    def cum_lf(c, p):
+        o = P.encode_lfg(p, 2048 + c, 2048, presets, cm_d,
+                         clusters_per_preset=9, **kw)
+        t_flat, t_bits, h64, r_flat, r_bits, ok = P._hf_transport_streams(
+            o, lens_d, codes_d, 9)
+        M_ = t_flat.shape[0]
+        (tw_, tn_, rw_, rn_, rcb_, tt_, rt_, rok_, _tc,
+         _rc) = P._hf_pack_streams(t_flat, t_bits, r_flat, r_bits, M_,
+                                   False)
+        (lw_, lt_, hlf_, lok_, lff_, lfw_, _lc) = P._lf_pack_stream(
+            o, lens_d, codes_d, False)
+        return (jnp.sum(tw_.astype(jnp.float32))
+                + jnp.sum(rw_.astype(jnp.float32))
+                + jnp.sum(h64.astype(jnp.float32))
+                + jnp.sum(lw_.astype(jnp.float32))
+                + jnp.sum(hlf_.astype(jnp.float32))
+                + lt_.astype(jnp.float32))
+
+    timeit("cum4_lf", cum_lf, px)
+    # delta(full_packed - cum4_lf) = per-group sums + ok/aux/checksums +
+    # the combined-buffer assembly
+
     print(json.dumps(out))
     return out
 
