@@ -166,6 +166,29 @@ def test_px2_unaligned_nb_falls_back_to_px1():
     assert tag == "px1"
 
 
+def test_px2_random_shape_sweep():
+    """Seeded sweep over shapes (odd heights, minimal widths, non-1024
+    meta widths), dtypes, and content kinds: pack -> double-unpack must
+    reconstruct exactly for every combination."""
+    rng = np.random.default_rng(42)
+    shapes = [(32, 32), (34, 96), (40, 160), (64, 992), (96, 1024),
+              (128, 2048), (33, 64), (256, 288)]
+    for h, w in shapes:
+        for dt in (np.uint8, np.uint16):
+            lim = 256 if dt == np.uint8 else 65536
+            kind = rng.integers(0, 3)
+            if kind == 0:
+                img = rng.integers(0, lim, (h, w, 3)).astype(dt)
+            elif kind == 1:
+                xx = np.arange(w, dtype=np.float32)[None, :, None]
+                img = (np.clip(np.sin(xx / 53.0) * 0.4 + 0.5, 0, 1)
+                       * (lim - 1)).astype(dt) * np.ones((h, 1, 3), dt)
+            else:
+                img = np.full((h, w, 3), rng.integers(0, lim), dt)
+                img[h // 2:, :] = rng.integers(0, lim, (h - h // 2, w, 3))
+            _px2_roundtrip(img)
+
+
 def test_px2_respects_cap():
     rng = np.random.default_rng(8)
     img = rng.integers(0, 256, (64, 1024, 3)).astype(np.uint8)
