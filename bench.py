@@ -64,9 +64,10 @@ def _merge_best(best, got):
         best = dict(_EMPTY_RESULT)
         best.pop("error")
     for key, companions in (
-            ("value", ("vs_baseline", "vs_ref_same_mode")),
+            ("value", ("vs_baseline", "vs_ref_same_mode", "wire_bpp")),
             ("smooth_mpix_s", ("smooth_vs_baseline",
-                               "smooth_vs_ref_same_mode")),
+                               "smooth_vs_ref_same_mode",
+                               "smooth_wire_bpp")),
             ("tiled_mpix_s", ("tiled_vs_baseline",))):
         if got.get(key, 0) > best.get(key, 0):
             best[key] = got[key]
