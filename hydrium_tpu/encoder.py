@@ -1342,6 +1342,11 @@ class Encoder:
                                         ubuf_w=tw, wide=True,
                                         kwargs=kwargs)
                                 else:
+                                    # the raw re-upload is real wire
+                                    # traffic: count it so wire_bpp
+                                    # stays complete (ADVICE r4)
+                                    self.stats.count("h2d_raw_bytes",
+                                                     px.nbytes)
                                     out = encode_lfg_packed(
                                         jnp.asarray(px), bh, tw,
                                         jnp.zeros(((bh >> 8) * gcx,),

@@ -9,9 +9,28 @@ Keys: h2d, d2h (MB/s, random 4 MB payload), h2d_zeros (MB/s, 4 MB of
 zeros -- the transport-compression ceiling), init_s (jax/device init).
 """
 
+import contextlib
 import json
 import subprocess
 import sys
+
+# one-TPU-client-at-a-time rig rule (CLAUDE.md): every probe child
+# serializes on the same flock scripts/window_watch.py holds around its
+# TPU children, so a manual `python bench.py` can never race the
+# watcher's probe (ADVICE r4).
+TPU_LOCK = "/tmp/hydrium_tpu.lock"
+
+
+@contextlib.contextmanager
+def tpu_lock():
+    """Hold the rig-wide TPU client flock.  Reentrant-unsafe by design
+    (flock on a second fd in the same process blocks): callers must not
+    nest it."""
+    import fcntl
+
+    with open(TPU_LOCK, "w") as lk:
+        fcntl.flock(lk, fcntl.LOCK_EX)
+        yield
 
 PROBE_SRC = r"""
 import time, json, numpy as np
@@ -47,12 +66,17 @@ print(json.dumps({
 """
 
 
-def run_probe(timeout: float = 150.0):
+def run_probe(timeout: float = 150.0, lock: bool = True):
     """Run the probe in a fresh child process (a wedged client must not
-    take the caller down); dict on success, None on wedge/failure."""
+    take the caller down); dict on success, None on wedge/failure.
+
+    Holds the rig-wide TPU flock around the child unless lock=False
+    (for callers that already hold it)."""
     try:
-        r = subprocess.run([sys.executable, "-c", PROBE_SRC],
-                           capture_output=True, text=True, timeout=timeout)
+        with (tpu_lock() if lock else contextlib.nullcontext()):
+            r = subprocess.run([sys.executable, "-c", PROBE_SRC],
+                               capture_output=True, text=True,
+                               timeout=timeout)
     except (subprocess.TimeoutExpired, OSError):
         return None
     if r.returncode != 0:

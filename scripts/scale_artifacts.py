@@ -229,12 +229,21 @@ def main():
     for key in ("config4", "config5_scale"):
         old = prev.get(key) or {}
         new = results.get(key) or {}
+        # every entry carries its own measured_unix: the top-level
+        # generated_unix says when the file was last written, not when
+        # a kept-best number was actually measured (ADVICE r4)
+        if "mpix_s" in new:
+            new["measured_unix"] = results["generated_unix"]
         if old.get("mpix_s", 0) > new.get("mpix_s", 0):
             note = {"mpix_s": new.get("mpix_s"),
                     "generated_unix": results["generated_unix"],
                     "note": "slower regen attempt (worse tunnel window); "
                             "kept the earlier best-window measurement"}
-            results[key] = dict(old, regen_attempt=note)
+            results[key] = dict(
+                old,
+                measured_unix=old.get("measured_unix",
+                                      prev.get("generated_unix", 0)),
+                regen_attempt=note)
     if (prev.get("config5_virtual") or {}).get("byte_identical") \
             and "error" in (results.get("config5_virtual") or {}):
         results["config5_virtual"] = prev["config5_virtual"]

