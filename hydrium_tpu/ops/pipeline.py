@@ -664,6 +664,21 @@ def _bitpack_mxu(lanes, nbits, num_words: int, ch: int, max_field_bits: int):
 HIST_SAMPLE_STRIDE = max(1, int(os.environ.get(
     "HYDRIUM_HIST_SAMPLE_STRIDE", "4")))
 
+# Fusion-barrier EXPERIMENT around the transport-prep stage (TPU branch
+# of _hf_transport_streams).  Hypothesis (round-4 attribution): the
+# stage costs ~12 ms COMPOSED vs 2.0 ms isolated because XLA fuses the
+# [N,64]->[M] mask/flatten/where chains into the one-hot matmuls'
+# operand reads; an optimization_barrier on narrow flat intermediates
+# should reproduce the isolated conditions.  MEASURED FALSE on chip
+# (2026-08-20, scripts/transport_slices.py): with the barrier the stage
+# is 13.1 ms -- the cost is the flatten relayouts themselves (~4.6 ms,
+# a single [N,64]u16 -> [M]i8 masked flatten alone measures 2.5 ms) plus
+# the lookup matmuls running 6.7 ms composed even when fed barriered
+# flat arrays (XLA materializes the [M,64] one-hot in this context).
+# Default OFF; the knob (1 = entry barrier, 2 = + exit barrier) stays
+# for on-chip A/B.  Read at import like HIST_SAMPLE_STRIDE.
+TRANSPORT_BARRIER = int(os.environ.get("HYDRIUM_TRANSPORT_BARRIER", "0"))
+
 
 # format-v3 chunk geometry: slots per chunk and the per-chunk one-hot
 # output width (words).  TOK_OW covers the worst case (12-bit transport
@@ -882,12 +897,32 @@ def _hf_transport_streams(out, tok_len: jnp.ndarray, tok_code: jnp.ndarray,
     valid = (jnp.arange(64)[None, :] < valid_len[:, None])
     tok_ok = jnp.all(jnp.where(valid, tokens, 0) < 64)
 
-    t_idx = jnp.where(valid, jnp.minimum(tokens, 63), 0).astype(
-        jnp.int32).reshape(M)
-    mask_i32 = valid.astype(jnp.int32).reshape(M)
-    # transport class = within-preset cluster id, known to the walker
-    # before each token is decoded
-    cls = (out["clusters"].astype(jnp.int32) % tok_classes).reshape(M)
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and TRANSPORT_BARRIER >= 1:
+        # barrier experiment (measured no-win; see TRANSPORT_BARRIER)
+        t_i8 = jnp.where(valid, jnp.minimum(tokens, 63), 0).astype(
+            jnp.int8).reshape(M)
+        cls8 = (out["clusters"].astype(jnp.int32)
+                % tok_classes).astype(jnp.int8).reshape(M)
+        mask8 = valid.astype(jnp.int8).reshape(M)
+        r_flat = jnp.where(valid, residues, 0).reshape(M)
+        rb8 = jnp.where(valid, residue_bits, 0).reshape(M)
+        t_i8, cls8, mask8, r_flat, rb8 = jax.lax.optimization_barrier(
+            (t_i8, cls8, mask8, r_flat, rb8))
+        t_idx = t_i8.astype(jnp.int32)
+        mask_i32 = mask8.astype(jnp.int32)
+        cls = cls8.astype(jnp.int32)
+        r_bits = rb8.astype(jnp.int32)
+    else:
+        t_idx = jnp.where(valid, jnp.minimum(tokens, 63), 0).astype(
+            jnp.int32).reshape(M)
+        mask_i32 = valid.astype(jnp.int32).reshape(M)
+        # transport class = within-preset cluster id, known to the
+        # walker before each token is decoded
+        cls = (out["clusters"].astype(jnp.int32) % tok_classes).reshape(M)
+        r_flat = jnp.where(valid, residues, 0).reshape(M)
+        r_bits = jnp.where(valid, residue_bits.astype(jnp.int32),
+                           0).reshape(M)
 
     # histogram sampling: every HS-th block-channel ROW (all 64 zigzag
     # positions of the sampled blocks -- a positionally unbiased sample,
@@ -911,7 +946,7 @@ def _hf_transport_streams(out, tok_len: jnp.ndarray, tok_code: jnp.ndarray,
     # f32 accumulation.  On CPU (the test backend) the matmuls are
     # emulated and minutes-slow, so the gather/scatter form is kept;
     # both forms are exact and produce identical payloads.
-    if jax.default_backend() == "tpu":
+    if on_tpu:
         oh_tok = (t_idx[:, None] == jnp.arange(64, dtype=jnp.int32)[None, :]
                   ).astype(jnp.bfloat16)                      # [M, 64]
         oh_cls = (cls[:, None] == jnp.arange(9, dtype=jnp.int32)[None, :]
@@ -950,6 +985,8 @@ def _hf_transport_streams(out, tok_len: jnp.ndarray, tok_code: jnp.ndarray,
                           * m_h[:, None].astype(jnp.bfloat16)).T,
                          oh_tok_h, preferred_element_type=jnp.float32)
         hist64 = (hist64.astype(jnp.int32) * HS).reshape(9 * 64)
+        if TRANSPORT_BARRIER >= 2:
+            t_flat, t_bits = jax.lax.optimization_barrier((t_flat, t_bits))
     else:
         ct_idx = cls * 64 + t_idx
         t_flat = jnp.where(mask_i32 > 0, tok_code[ct_idx].astype(jnp.uint32),
@@ -957,8 +994,6 @@ def _hf_transport_streams(out, tok_len: jnp.ndarray, tok_code: jnp.ndarray,
         t_bits = tok_len[ct_idx].astype(jnp.int32) * mask_i32
         hist64 = jnp.zeros((9 * 64,), jnp.int32).at[c_h * 64 + t_h].add(
             m_h) * HS
-    r_flat = jnp.where(valid, residues, 0).reshape(M)
-    r_bits = jnp.where(valid, residue_bits.astype(jnp.int32), 0).reshape(M)
     return t_flat, t_bits, hist64, r_flat, r_bits, tok_ok
 
 
