@@ -387,6 +387,17 @@ def packed_verify(aux: np.ndarray, words, buf_h: int, buf_w: int) -> bool:
 # round trip saves for small payloads
 _SPEC_CAP_WORDS = 64 * 1024
 
+# frame-level single fetch (see _FetchGroup): how long a forced arm
+# (the drain worker needing a member) waits for more members to
+# register before fetching with what it has.  Also the deadlock safety
+# net: a group ALWAYS arms within this bound.
+_GROUP_FETCH_WAIT_S = float(os.environ.get(
+    "HYDRIUM_GROUP_FETCH_WAIT_MS", "250")) / 1e3
+
+
+def _group_fetch_on() -> bool:
+    return os.environ.get("HYDRIUM_GROUP_FETCH", "1") != "0"
+
 
 def fetch_packed_payload(combined, buf_h: int, buf_w: int, stats=None,
                          hint_words: int = 0):
@@ -441,6 +452,128 @@ def fetch_packed_payload(combined, buf_h: int, buf_w: int, stats=None,
             stats.count("tok_words", (int(aux[1]) + 31) >> 5)
             stats.count("res_words", (int(aux[2]) + 31) >> 5)
     return aux, words
+
+
+# ---------------------------------------------------------------------------
+# frame-level single fetch: collapse the per-LFG payload round trips
+# ---------------------------------------------------------------------------
+#
+# Smooth one-frame encodes are RTT-bound, not byte-bound: the 2026-08-20
+# timeline measured all four LF groups of a 4K frame dispatched by
+# t=77 ms, then four concurrent ~40 KB prefetch round trips dominating
+# to t=345 ms.  When every in-flight payload is expected small (the same
+# hint threshold that already lets small fetches skip the tunnel
+# semaphore), the frame's payloads are compacted into ONE device buffer
+# and pulled with ONE speculative round trip:
+#
+#   [aux_0 | aux_1 | .. | aux_{K-1} | streams_0 | streams_1 | ..]
+#
+# Aux prefixes sit at static offsets (their lengths depend only on each
+# LF group's buffer shape); each payload's stream section is placed at
+# A_total + cumsum(used_words) by ascending dynamic_update_slice writes,
+# where used is computed ON DEVICE from the payload's own aux totals
+# (min-clamped to the cap region so an overflowed ok=0/2 payload cannot
+# shift its successors; the host applies the identical clamp).  Writing
+# in ascending offset order means each payload's used region is written
+# last by its own full-cap-window update, so inter-payload garbage can
+# never land inside another payload's used region.
+#
+# Reference contrast: the reference's one-frame mode accumulates all
+# groups and flushes once (encoder.c:752-1003); this is the remote-TPU
+# analogue -- one wire transaction per frame instead of per LF group.
+
+_FRAME_COMBINE: dict = {}
+
+
+def _frame_combine(outs, A_list):
+    """Device-concat K combined packed payloads (see comment above).
+    outs: list of 1-D u32 device arrays; A_list: per-payload aux length.
+    Returns the combined device array of length sum(len(out))."""
+    import jax
+    import jax.numpy as jnp
+
+    key = tuple(A_list)
+    fn = _FRAME_COMBINE.get(key)
+    if fn is None:
+        def combine(*cs):
+            A_total = sum(A_list)
+            total = sum(c.shape[0] for c in cs)
+            out = jnp.zeros((total,), jnp.uint32)
+            aoff = 0
+            off = jnp.int32(A_total)
+            for c, A in zip(cs, A_list):
+                used = (((c[1] + 31) >> 5) + ((c[2] + 31) >> 5)
+                        + ((c[3] + 31) >> 5))
+                used = jnp.minimum(
+                    used, jnp.uint32(c.shape[0] - A)).astype(jnp.int32)
+                out = jax.lax.dynamic_update_slice(out, c[:A], (aoff,))
+                out = jax.lax.dynamic_update_slice(out, c[A:], (off,))
+                aoff += A
+                off = off + used
+            return out
+
+        fn = jax.jit(combine)
+        _FRAME_COMBINE[key] = fn
+    return fn(*outs)
+
+
+def group_fetch_payloads(outs, shapes, hints, stats=None):
+    """Fetch K compacted packed payloads in one round trip.
+
+    outs: list of combined device arrays; shapes: [(buf_h, buf_w)];
+    hints: per-payload expected stream words (>0).  Returns a list of
+    (aux, words_or_None) the same length as `outs`: entries are None
+    (not a tuple) from the first anomaly onward -- a corrupt aux means
+    its used-length cannot be trusted, so every SUBSEQUENT payload's
+    offset is unknowable and the caller must refetch those individually
+    (their own device buffers are still live)."""
+    from .ops.pipeline import packed_aux_len
+
+    A_list = [packed_aux_len(bh, bw) for bh, bw in shapes]
+    A_total = sum(A_list)
+    caps = [int(o.shape[0]) - a for o, a in zip(outs, A_list)]
+    dev = _frame_combine(outs, A_list)
+    spec = sum(min(int(h), _SPEC_CAP_WORDS) for h in hints)
+    first = _fetch_prefix(dev, A_total + spec)
+    results: list = []
+    auxes = []
+    aoff = 0
+    for a in A_list:
+        auxes.append(np.ascontiguousarray(
+            first[aoff:aoff + a]).view(np.int32))
+        aoff += a
+    # host-side offsets mirror the device's clamped arithmetic exactly
+    used = []
+    ok_upto = len(outs)
+    for k, aux in enumerate(auxes):
+        if first.shape[0] < A_total or not packed_verify(
+                aux, None, shapes[k][0], shapes[k][1]):
+            ok_upto = k
+            break
+        used.append(min(packed_need_words(aux, *shapes[k]), caps[k]))
+    need = A_total + sum(used)
+    if ok_upto > 0 and first.shape[0] < need + 1:
+        top = _fetch_range(dev, first.shape[0],
+                           need + 1 - first.shape[0])
+        first = np.concatenate([first, top])
+    if stats is not None:
+        stats.count("fetched_words", max(first.shape[0], need + 1))
+    off = A_total
+    for k in range(len(outs)):
+        if k >= ok_upto:
+            results.append(None)
+            continue
+        aux = auxes[k]
+        words = None
+        if bool(aux[0] & 1):
+            words = first[off:off + used[k] + 1]
+            if stats is not None:
+                stats.count("lf_words", (int(aux[3]) + 31) >> 5)
+                stats.count("tok_words", (int(aux[1]) + 31) >> 5)
+                stats.count("res_words", (int(aux[2]) + 31) >> 5)
+        results.append((aux, words))
+        off += used[k]
+    return results
 
 
 def _feed_hf_packed(hf, parsed, lfg, buf_w: int, buf_h: int, preset: int,
@@ -533,7 +666,7 @@ class _JaxDispatch:
                  "_pf_thread", "_pf_ran", "_hist_folded", "tok_lut",
                  "lf_lut", "_codec", "stats", "_wide", "_tag", "_future",
                  "_px_host", "_pxp_dev", "_ubuf", "will_pack",
-                 "_sample_fmt", "_cm_host", "_prep_future")
+                 "_sample_fmt", "_cm_host", "_prep_future", "_group")
 
     # shapes whose content needed the wide residue executable
     _WIDE_HINT: dict = {}
@@ -606,6 +739,7 @@ class _JaxDispatch:
         self._pf_thread = None
         self._pf_ran = False
         self._hist_folded = False
+        self._group = None
         # pxpack + upload + pipeline dispatch run on a worker so the
         # main thread returns in ~ms and the FIRST LF group's payload
         # fetch is not delayed behind later groups' host bitpacking
@@ -710,6 +844,10 @@ class _JaxDispatch:
         t.start()
 
     def join_prefetch(self) -> None:
+        g = self._group
+        if g is not None:
+            self._group = None
+            g.ensure(self)
         if self._pf_thread is not None:
             self._pf_thread.join()
             self._pf_thread = None
@@ -859,6 +997,103 @@ class _JaxDispatch:
         return lf_q, lf_res
 
 
+class _FetchGroup:
+    """Deferred frame-level fetch of several small packed payloads (see
+    the single-fetch comment above group_fetch_payloads).
+
+    Handles register as they dispatch; the group arms (fires its one
+    combined fetch) when the encoder says the frame is complete, when
+    membership hits the in-flight cap, or -- the safety net -- when the
+    drain worker needs a member and the natural arm has not come within
+    _GROUP_FETCH_WAIT_S.  Any member the combined fetch cannot cleanly
+    satisfy (corrupt aux cascade, checksum mismatch, wide retry) is left
+    untouched and drains through its ordinary individual path; its
+    device buffer is still live."""
+
+    def __init__(self, stats):
+        import threading
+
+        self._handles: list = []
+        self._stats = stats
+        self._lock = threading.Lock()
+        self._armed = threading.Event()
+        self._done = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._handles)
+
+    def register(self, handle) -> bool:
+        with self._lock:
+            if self._armed.is_set():
+                return False
+            self._handles.append(handle)
+            handle._group = self
+            return True
+
+    def arm(self) -> None:
+        self._armed.set()
+
+    def ensure(self, handle) -> None:
+        """Block until the group's fetch has run.  Called from
+        join_prefetch on the drain worker; waits a bounded time for a
+        natural arm (more members may still be registering on the main
+        thread) before force-arming with the current membership."""
+        if not self._armed.is_set():
+            self._armed.wait(_GROUP_FETCH_WAIT_S)
+            self.arm()
+        self._done.wait()
+
+    def _run(self) -> None:
+        self._armed.wait()
+        try:
+            with self._lock:
+                handles = list(self._handles)
+            for h in handles:
+                h.join_prepare()
+            ev = (self._stats.event if self._stats is not None
+                  else (lambda _n: __import__("contextlib").nullcontext()))
+            with ev("group_fetch"):
+                res = group_fetch_payloads(
+                    [h.out["combined"] for h in handles],
+                    [(h.buf_h, h.buf_w) for h in handles],
+                    [_JaxDispatch._NEED_HINT.get((h.buf_h, h.buf_w), 1)
+                     for h in handles],
+                    stats=self._stats)
+            for h, r in zip(handles, res):
+                if r is None:
+                    continue          # individual refetch in drain()
+                aux, words = r
+                if int(aux[0]) == 2:
+                    continue          # wide retry via the individual path
+                if (bool(aux[0] & 1)
+                        and not packed_verify(aux, words, h.buf_h,
+                                              h.buf_w)):
+                    if self._stats is not None:
+                        self._stats.count("checksum_errors")
+                    continue          # stream corrupt: refetch individually
+                h._aux = aux
+                h._words = words
+                h._pf_ran = True
+                if words is not None:
+                    _JaxDispatch._NEED_HINT[(h.buf_h, h.buf_w)] = \
+                        packed_need_words(aux, h.buf_h, h.buf_w)
+                if h._codec is not None:
+                    h._codec.update(aux[8:648])
+                    h._hist_folded = True
+            if self._stats is not None:
+                self._stats.count("group_fetches")
+                self._stats.count("group_members", len(handles))
+        except Exception as e:    # tunnel failure -> individual paths
+            if self._stats is not None:
+                self._stats.count("prefetch_errors")
+                self._stats.last_error = f"group fetch: {e!r}"
+        finally:
+            self._done.set()
+
+
 def _lfg_jax(pixels, sample_fmt, linear_light, lfg, preset, hf,
              codec=None, stats=None):
     """JAX device backend: dispatch + immediate drain (the one-frame
@@ -1003,6 +1238,7 @@ class Encoder:
 
             self._codec = _shared_codec()
             self._fetch_sem = threading.Semaphore(1)
+            self._fetch_group: Optional[_FetchGroup] = None
             # single ordered worker: joins each LF group's prefetch, runs
             # the C++ walk (ctypes releases the GIL) and, in streaming
             # mode, the per-preset ANS encode -- all off the main thread,
@@ -1197,8 +1433,10 @@ class Encoder:
         return bytes(main.finalize()) + bytes(asm.working.finalize())
 
     def _emit_tiled_frame(self, lfg: LFGroupGeometry, last: bool,
-                          lf_q, lf_res, hf) -> None:
-        include_header = not self._wrote_header
+                          lf_q, lf_res, hf,
+                          include_header: Optional[bool] = None) -> None:
+        if include_header is None:
+            include_header = not self._wrote_header
         data = self._render_tiled_frame(lfg, last, lf_q, lf_res, hf,
                                         include_header)
         self._out.extend(data)
@@ -1304,12 +1542,20 @@ class Encoder:
                         jnp.zeros(((bh >> 8) * gcx,), jnp.int32),
                         cm_dev, jnp.asarray(lens), jnp.asarray(codes),
                         wide_residues=wide, **kwargs)
+            # the image-header claim is decided at unit CREATION (main
+            # thread, strict send order) so per-tile serialization can
+            # start the moment the unit's fetch completes instead of at
+            # drain time; a failed unit re-arms the claim for its
+            # per-tile fallback (_tb_drain_unit)
+            include_header = not self._wrote_header
+            self._wrote_header = True
             unit = {"kind": "chunk", "px": px, "result": None,
                     # metas only -- the caller's pixel views are already
                     # copied into px; retaining them would pin whole
                     # input strips for the unit's deferred lifetime
                     "metas": [(tx, ty, lfg) for _p, tx, ty, lfg in part],
-                    "tok_classes": kwargs["tok_classes"]}
+                    "tok_classes": kwargs["tok_classes"],
+                    "include_header": include_header, "futs": None}
 
             def fetch():
                 from .jxl.tokcode import LF_CLASS
@@ -1389,6 +1635,11 @@ class Encoder:
                         return
                     self.stats.count("lfg_packed")
                     unit["result"] = (parsed, lut)
+                    # per-tile walk + ANS + frame serialization start NOW
+                    # (4-worker pool, GIL released in C++), overlapping
+                    # the remaining units' fetches; _tb_drain_unit only
+                    # collects results in send order
+                    self._tb_submit_renders(unit)
                 except Exception as e:   # tunnel failure -> per-tile path
                     self.stats.count("prefetch_errors")
                     self.stats.last_error = f"tiled fetch: {e!r}"
@@ -1417,9 +1668,12 @@ class Encoder:
                                       stats=self.stats)
                 if handle.will_pack:
                     handle.start_prefetch(self._fetch_sem)
+                include_header = not self._wrote_header
+                self._wrote_header = True
                 self._tb_units.append({"kind": "edge", "handle": handle,
                                        "hf": hf, "lfg": lfg,
-                                       "tx": tx, "ty": ty})
+                                       "tx": tx, "ty": ty,
+                                       "include_header": include_header})
         if run:
             self._tb_units.append(dispatch_chunk(run))
 
@@ -1429,35 +1683,15 @@ class Encoder:
         while len(self._tb_units) > keep:
             self._tb_drain_unit(self._tb_units.pop(0), fmt)
 
-    def _tb_drain_unit(self, unit, fmt: str) -> None:
-        """Serialize one tiled-mode unit (tiles emit in send order)."""
+    def _tb_submit_renders(self, unit) -> None:
+        """Submit a fetched chunk unit's per-tile walk + ANS + frame
+        serialization to the 4-worker pool (called from the unit's
+        fetch thread the moment its payload parses; the walker and ANS
+        encoder release the GIL in C++).  Results are collected strictly
+        in send order by _tb_drain_unit."""
         m = self.metadata
         tw, th = m.tile_width, m.tile_height
-        if unit["kind"] == "edge":
-            if self._finished:
-                raise RuntimeError("tile sent after the last tile")
-            handle, hf, lfg = unit["handle"], unit["hf"], unit["lfg"]
-            last = self._tile_is_last(unit["tx"], unit["ty"], tw, th, -1)
-            # join the prefetch daemon BEFORE drain (exactly like the
-            # one-frame _drain_work): drain() racing a mid-flight
-            # prefetch could double-run the cold-codec bootstrap or see
-            # _aux published before _words
-            handle.join_prefetch()
-            with self.stats.stage("pipeline+transfer"):
-                lf_q, lf_res = handle.drain(hf, self.stats)
-            self._emit_tiled_frame(lfg, last, lf_q, lf_res, hf)
-            return
-        unit["thread"].join()
         gpt = (th >> 8) * (tw >> 8)
-        px = unit["px"]
-        if unit["result"] is None:
-            # overflow / corrupt / tunnel failure: per-tile fallback
-            for j, (tx, ty, _g) in enumerate(unit["metas"]):
-                if self._finished:
-                    raise RuntimeError("tile sent after the last tile")
-                self._send_tile_tiled(px[j * th:(j + 1) * th], tx, ty,
-                                      -1, fmt)
-            return
         parsed, lut = unit["result"]
 
         def render(j, lfg, last, include_header):
@@ -1479,25 +1713,56 @@ class Encoder:
                 lfg, last, None, parsed["lf_res"][lf0:lf0 + (th >> 3)],
                 hf, include_header)
 
-        # per-tile walk + ANS + frame serialization run in parallel
-        # (the walker and ANS encoder release the GIL in C++); frames
-        # are appended strictly in send order
         pool = self._tb_pool()
         futs = []
         for j, (tx, ty, lfg) in enumerate(unit["metas"]):
+            last = self._tile_is_last(tx, ty, tw, th, -1)
+            futs.append((pool.submit(render, j, lfg, last,
+                                     unit["include_header"] and j == 0),
+                         last))
+        unit["futs"] = futs
+
+    def _tb_drain_unit(self, unit, fmt: str) -> None:
+        """Serialize one tiled-mode unit (tiles emit in send order)."""
+        m = self.metadata
+        tw, th = m.tile_width, m.tile_height
+        if unit["kind"] == "edge":
             if self._finished:
                 raise RuntimeError("tile sent after the last tile")
-            last = self._tile_is_last(tx, ty, tw, th, -1)
-            include_header = not self._wrote_header
-            self._wrote_header = True   # decided in submit order
-            futs.append((pool.submit(render, j, lfg, last,
-                                     include_header), last))
+            handle, hf, lfg = unit["handle"], unit["hf"], unit["lfg"]
+            last = self._tile_is_last(unit["tx"], unit["ty"], tw, th, -1)
+            # join the prefetch daemon BEFORE drain (exactly like the
+            # one-frame _drain_work): drain() racing a mid-flight
+            # prefetch could double-run the cold-codec bootstrap or see
+            # _aux published before _words
+            handle.join_prefetch()
+            with self.stats.stage("pipeline+transfer"):
+                lf_q, lf_res = handle.drain(hf, self.stats)
+            self._emit_tiled_frame(lfg, last, lf_q, lf_res, hf,
+                                   include_header=unit["include_header"])
+            return
+        unit["thread"].join()
+        px = unit["px"]
+        if unit["result"] is None:
+            # overflow / corrupt / tunnel failure: per-tile fallback.
+            # Re-arm this unit's header claim so its first fallback
+            # frame writes the image header the claim reserved.
+            if unit["include_header"]:
+                self._wrote_header = False
+            for j, (tx, ty, _g) in enumerate(unit["metas"]):
+                if self._finished:
+                    raise RuntimeError("tile sent after the last tile")
+                self._send_tile_tiled(px[j * th:(j + 1) * th], tx, ty,
+                                      -1, fmt)
+            return
+        for f, last in unit["futs"]:
+            if self._finished:
+                raise RuntimeError("tile sent after the last tile")
+            self._out.extend(f.result())
             if last:
                 self._finished = True
-        for f, last in futs:
-            self._out.extend(f.result())
-            if last and self.backend == "jax":
-                _save_warm_state()
+                if self.backend == "jax":
+                    _save_warm_state()
 
     def _tb_pool(self):
         if getattr(self, "_tb_pool_", None) is None:
@@ -1579,9 +1844,15 @@ class Encoder:
             # start pulling this payload immediately on the fetch worker
             # (a semaphore serializes tunnel access across handles), so
             # device->host transfer of LFG i overlaps walk/serialize of
-            # LFG i-1 and dispatch of LFG i+1
-            if handle.will_pack:
+            # LFG i-1 and dispatch of LFG i+1.  Small expected payloads
+            # instead register in the frame-level fetch group -- ONE
+            # combined round trip per frame (smooth content is
+            # RTT-bound, not byte-bound)
+            if handle.will_pack and not self._try_group_register(handle):
                 handle.start_prefetch(self._fetch_sem)
+            if (self._fetch_group is not None
+                    and len(self._sent) == len(self._lfgs)):
+                self._fetch_group.arm()
             # queue the walk (+ streaming ANS) on the ordered drain
             # worker: serialization of this LF group overlaps the NEXT
             # LF group's tunnel fetch instead of blocking the main thread
@@ -1598,6 +1869,29 @@ class Encoder:
             if self.streaming:
                 with self.stats.stage("ans_encode"):
                     self._hf.finish_lfg(preset)
+
+    def _try_group_register(self, handle) -> bool:
+        """Register a small-payload handle in the frame fetch group
+        (creating/rotating groups as needed); False -> caller should
+        start the ordinary individual prefetch."""
+        if (not _group_fetch_on() or self._codec is None
+                or self._codec.cold or len(self._lfgs) <= 1):
+            return False
+        hint = _JaxDispatch._NEED_HINT.get((handle.buf_h, handle.buf_w), 0)
+        if not (0 < hint <= _SPEC_CAP_WORDS):
+            return False
+        g = self._fetch_group
+        if g is None or not g.register(handle):
+            g = _FetchGroup(self.stats)
+            self._fetch_group = g
+            g.register(handle)
+        # cap membership at the in-flight window: _process_lfg blocks on
+        # _drain_one once MAX_INFLIGHT+1 handles are pending, and the
+        # drained handle's group must already be armed by then (the
+        # ensure() timeout would otherwise stall every window)
+        if len(g) > self.MAX_INFLIGHT:
+            g.arm()
+        return True
 
     def _drain_work(self, handle):
         """Runs on the single drain worker thread, in dispatch order:
