@@ -131,6 +131,12 @@ class BitWriter:
         self.append_bytes(bytes(other._buf))
         self.write(other._cache, other._cache_bits)
 
+    def export_raw(self):
+        """(whole_bytes, tail_value, tail_bits) without padding -- the
+        unaligned-section export NativeBitWriter also provides."""
+        self._drain()
+        return bytes(self._buf), self._cache, self._cache_bits
+
     def finalize(self) -> bytes:
         """Zero-pad to a byte boundary and return the buffer."""
         self.zero_pad()

@@ -239,6 +239,33 @@ def _send_ma_tree(bw: BitWriter, tree) -> None:
     stream.prefix_finalize(bw)
 
 
+# Constant-segment cache for write_lf_group: the MA trees and the whole
+# block-metadata tail are pure functions of (vh, vw), yet tiled mode
+# re-encodes them for EVERY 256x256 tile-frame -- measured as the bulk
+# of the 70x-per-pixel lf_sections gap vs one-frame mode (BENCH_r04:
+# 1340 ms tiled vs 19 ms one-frame for the same pixel count).  A bit
+# stream is position-independent (bits append sequentially), so the
+# first build's raw export replays byte-for-byte at any alignment.
+_SEG_CACHE: dict = {}
+
+
+def _cached_segment(key, use_native: bool, build):
+    seg = _SEG_CACHE.get(key)
+    if seg is None:
+        w = native.NativeBitWriter() if use_native else BitWriter()
+        build(w)
+        seg = w.export_raw()
+        _SEG_CACHE[key] = seg
+    return seg
+
+
+def _append_raw(bw, seg) -> None:
+    data, tail_val, tail_bits = seg
+    bw.append_bytes(data)
+    if tail_bits:
+        bw.write(tail_val, tail_bits)
+
+
 def write_lf_group(bw, lf_q: Optional[np.ndarray],
                    lf_res_packed: Optional[np.ndarray] = None) -> None:
     """One LFGroup section from quantized LF values.
@@ -250,13 +277,18 @@ def write_lf_group(bw, lf_q: Optional[np.ndarray],
     encoder.c:539-629."""
     vh, vw, _ = (lf_q if lf_q is not None else lf_res_packed).shape
     nb_blocks = vh * vw
+    use_native = native.available() and isinstance(
+        bw, native.NativeBitWriter)
 
-    bw.write(0, 2)          # extra precision
-    bw.write_bool(False)    # use_global_tree
-    bw.write_bool(True)     # wp_params all_default
-    bw.write(0, 2)          # nb_transforms
+    def head(w):
+        w.write(0, 2)          # extra precision
+        w.write_bool(False)    # use_global_tree
+        w.write_bool(True)     # wp_params all_default
+        w.write(0, 2)          # nb_transforms
+        _send_ma_tree(w, LF_MA_TREE)
 
-    _send_ma_tree(bw, LF_MA_TREE)
+    _append_raw(bw, _cached_segment(("lf_head", use_native),
+                                    use_native, head))
 
     if lf_res_packed is None:
         lf_res_packed = pack_signed(lf_predict_residuals(lf_q))
@@ -264,8 +296,6 @@ def write_lf_group(bw, lf_q: Optional[np.ndarray],
     planes = np.concatenate([lf_res_packed[:, :, 1].ravel(),
                              lf_res_packed[:, :, 0].ravel(),
                              lf_res_packed[:, :, 2].ravel()])
-    use_native = native.available() and isinstance(
-        bw, native.NativeBitWriter)
     if use_native:
         stream = native.NativeStream([0], 1, custom_config=(7, 1, 1),
                                      lz77_min_symbol=1 << 14, modular=True)
@@ -279,27 +309,32 @@ def write_lf_group(bw, lf_q: Optional[np.ndarray],
             stream.send_symbol(0, int(v))
         stream.prefix_finalize(bw)
 
-    bw.write(nb_blocks - 1, cllog2(nb_blocks))
-    bw.write(0x2, 4)
-    _send_ma_tree(bw, META_MA_TREE)
+    def meta_tail(w):
+        w.write(nb_blocks - 1, cllog2(nb_blocks))
+        w.write(0x2, 4)
+        _send_ma_tree(w, META_MA_TREE)
 
-    cfl_height = (vh + 7) >> 3
-    cfl_width = (vw + 7) >> 3
-    num_z_pre = 2 * cfl_width * cfl_height + nb_blocks
-    qf_sym = (tables.HF_MULT - 1) * 2
-    meta_syms = np.concatenate([
-        np.zeros(num_z_pre, np.uint32),
-        np.full(nb_blocks, qf_sym, np.uint32),
-        np.zeros(nb_blocks, np.uint32)])
-    if use_native:
-        stream = native.NativeStream([0], 1, lz77_min_symbol=29, modular=True)
-        stream.send_mono(0, meta_syms)
-        stream.prefix_finalize(bw)
-    else:
-        stream = EntropyStream([0], 1, lz77_min_symbol=29, modular=True)
-        for v in meta_syms:
-            stream.send_symbol(0, int(v))
-        stream.prefix_finalize(bw)
+        cfl_height = (vh + 7) >> 3
+        cfl_width = (vw + 7) >> 3
+        num_z_pre = 2 * cfl_width * cfl_height + nb_blocks
+        qf_sym = (tables.HF_MULT - 1) * 2
+        meta_syms = np.concatenate([
+            np.zeros(num_z_pre, np.uint32),
+            np.full(nb_blocks, qf_sym, np.uint32),
+            np.zeros(nb_blocks, np.uint32)])
+        if use_native:
+            stream = native.NativeStream([0], 1, lz77_min_symbol=29,
+                                         modular=True)
+            stream.send_mono(0, meta_syms)
+            stream.prefix_finalize(w)
+        else:
+            stream = EntropyStream([0], 1, lz77_min_symbol=29, modular=True)
+            for v in meta_syms:
+                stream.send_symbol(0, int(v))
+            stream.prefix_finalize(w)
+
+    _append_raw(bw, _cached_segment(("lf_meta", vh, vw, use_native),
+                                    use_native, meta_tail))
 
 
 class HFStream:
