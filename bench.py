@@ -25,6 +25,11 @@ BASELINE_SMOOTH_MPPS = 11.0  # reference, 4K smooth, 1 core (BASELINE.md)
 # so the *_vs_ref_same_mode fields give the mode-for-mode comparison.
 BASELINE_1F_MPPS = 0.49          # reference, 4K noisy, ONE-FRAME mode
 BASELINE_1F_SMOOTH_MPPS = 1.28   # reference, 4K smooth, ONE-FRAME mode
+# reference on make_4k_photo (1/f^2 statistics), best mode: one-frame
+# 10.58 / tiled 8.74 Mpix/s, measured 2026-08-20 on the survey rig
+# (same libhydrium gcc -O2 build, 64 MB output buffer, fresh process
+# per run -- repeated in-process encodes corrupt the reference's heap)
+BASELINE_PHOTO_MPPS = 10.58
 
 
 def make_4k_noisy(seed=0):
@@ -47,6 +52,41 @@ def make_4k_smooth():
     phase = np.array([0.0, 1.3, 2.1], np.float32)
     base = 128 + 80 * np.sin(xx / 971.0 + phase) * np.cos(yy / 533.0 - phase)
     return np.clip(base, 0, 255).astype(np.uint8)
+
+
+def make_4k_photo(seed=3):
+    """Photographic-statistics content: ~1/f^2 luminance power spectrum
+    (the classic natural-image model), correlated low-amplitude chroma,
+    and hard region edges from a thresholded low-frequency field.  The
+    reference's operating regime is photographic PNGs
+    (/root/reference/src/hydrium.c:407-443); the noise/smooth synthetic
+    extremes are both degenerate for transport decisions (entropy floor
+    / near-zero payload), so this is the fixture PXPACK's pack-vs-
+    decline heuristic and the headline numbers are validated on."""
+    h, w = 2160, 3840
+    rng = np.random.default_rng(seed)
+
+    def pink(exponent):
+        fy = np.fft.fftfreq(h)[:, None]
+        fx = np.fft.rfftfreq(w)[None, :]
+        f = np.sqrt(fy * fy + fx * fx)
+        f[0, 0] = 1.0
+        spec = (rng.normal(size=(h, w // 2 + 1))
+                + 1j * rng.normal(size=(h, w // 2 + 1))) / f ** exponent
+        x = np.fft.irfft2(spec, s=(h, w))
+        x -= x.mean()
+        return x / (np.abs(x).std() + 1e-9)
+
+    luma = pink(1.1)
+    # hard edges: a thresholded very-low-frequency field shifts regions
+    edges = np.where(pink(1.8) > 0.3, 0.9, 0.0)
+    c1, c2 = pink(1.3), pink(1.3)
+    img = np.stack([luma + 0.25 * c1 + edges,
+                    luma + edges,
+                    luma + 0.25 * c2 + edges], axis=-1)
+    img = (img - img.min()) / (img.max() - img.min())
+    return np.clip(img * 255.0 + rng.normal(0, 1.2, img.shape),
+                   0, 255).astype(np.uint8)
 
 
 _EMPTY_RESULT = {
@@ -546,6 +586,19 @@ def main():
                              tile_shift=0)
     result["tiled_mpix_s"] = round(tiled_mpps, 3)
     result["tiled_vs_baseline"] = round(tiled_mpps / BASELINE_MPPS, 2)
+    print(json.dumps(result), flush=True)
+
+    # photographic-statistics content (1/f^2): the regime real users
+    # hit; validates PXPACK's pack-vs-decline heuristic outside the two
+    # degenerate synthetic extremes
+    photo = make_4k_photo()
+    encode_image(photo, tile_size_shift=-1, backend="jax")
+    photo_mpps, p_st = _measure(photo, max(2, iters // 2), "photo")
+    result["photo_mpix_s"] = round(photo_mpps, 3)
+    result["photo_wire_bpp"] = _wire_bpp(
+        p_st, photo.shape[0] * photo.shape[1])
+    result["photo_vs_baseline"] = round(photo_mpps / BASELINE_PHOTO_MPPS,
+                                        2)
     print(json.dumps(result), flush=True)
 
 
