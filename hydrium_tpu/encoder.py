@@ -174,7 +174,7 @@ def _fetch_pool():
 # reassembled on device by a per-shape jitted concat (cached, and tiny
 # next to the pipeline executable each buffer shape already compiles).
 # Stripe size re-probed 2026-08-19 with the encoder's REAL pattern
-# (scripts/tunnel_probe3.py: per-LFG [2048,2048,3] row-striped puts +
+# (scripts/tunnel_probe.py: per-LFG [2048,2048,3] row-striped puts +
 # on-device concat + dependent readback): one-LFG bandwidth is nearly
 # flat across stripe sizes (36-40 MB/s from 1 MB to whole-buffer), with
 # 2 MB best both alone (39.6) and in a 4-LFG train (32.5).  The same
@@ -2112,8 +2112,15 @@ class BufferedEncoder:
         # reports NEED_MORE_OUTPUT (send_tile refuses to encode then),
         # so the encoder never adds output behind a live generator's
         # back; when one ends, the next call starts a fresh one.
+        # The pull granularity follows the CALLER's buffer size, so the
+        # adapter's internal backlog stays ~one buffer's worth -- the
+        # memory-bound the reference achieves by suspending mid-section
+        # (libhydrium.c:114-166); a tiny 64-byte buffer holds the
+        # backlog near the spool read unit instead of a 4 MB chunk.
         if self._emit is None:
-            self._emit = self.encoder.iter_output()
+            cs = max(64, len(self._buf)) if self._buf is not None \
+                else 1 << 16
+            self._emit = self.encoder.iter_output(chunk_size=cs)
         for c in self._emit:
             if c:
                 return c

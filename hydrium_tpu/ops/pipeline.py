@@ -898,6 +898,41 @@ def _hf_transport_streams(out, tok_len: jnp.ndarray, tok_code: jnp.ndarray,
     tok_ok = jnp.all(jnp.where(valid, tokens, 0) < 64)
 
     on_tpu = jax.default_backend() == "tpu"
+    # On real hardware the mask/flatten/where chains + code/len lookup
+    # run as the VMEM-resident Mosaic prep kernel: XLA:TPU prices the
+    # composed XLA form at ~12 ms per 2048^2 LFG (scripts/
+    # transport_slices.py, 2026-08-20 -- it materializes the [M,64]
+    # one-hot / [M,27] f32 intermediate in every formulation tried and
+    # spends ~2.5 ms on a single [N,64]->[M] masked flatten).
+    # HYDRIUM_PLPREP=0 falls back to the XLA form.
+    if (on_tpu and jax.devices()[0].platform == "tpu"
+            and os.environ.get("HYDRIUM_PLPREP", "1") != "0"):
+        from .pallas.prep import transport_prep
+
+        t_flat, t_bits, r_flat, r_bits = transport_prep(
+            tokens, out["clusters"], valid_len, residues, residue_bits,
+            tok_len, tok_code, tok_classes=tok_classes)
+        # sampled per-class histogram (identical counts to the XLA
+        # branch): slice every HS-th block-channel ROW before the
+        # flatten, so the relayout the one-hot dots pay is HS-x smaller
+        HS = HIST_SAMPLE_STRIDE if N % HIST_SAMPLE_STRIDE == 0 else 1
+        tok_s = tokens[::HS]
+        cls_s = out["clusters"][::HS]
+        vl_s = valid_len[::HS]
+        valid_s = (jnp.arange(64)[None, :] < vl_s[:, None])
+        t_h = jnp.where(valid_s, jnp.minimum(tok_s, 63), 0).astype(
+            jnp.int32).reshape(-1)
+        c_h = (cls_s.astype(jnp.int32) % tok_classes).reshape(-1)
+        m_h = valid_s.astype(jnp.int32).reshape(-1)
+        oh_tok_h = (t_h[:, None] == jnp.arange(64, dtype=jnp.int32)[
+            None, :]).astype(jnp.bfloat16)
+        oh_cls_h = (c_h[:, None] == jnp.arange(9, dtype=jnp.int32)[
+            None, :]).astype(jnp.bfloat16)
+        hist64 = jnp.dot((oh_cls_h
+                          * m_h[:, None].astype(jnp.bfloat16)).T,
+                         oh_tok_h, preferred_element_type=jnp.float32)
+        hist64 = (hist64.astype(jnp.int32) * HS).reshape(9 * 64)
+        return t_flat, t_bits, hist64, r_flat, r_bits, tok_ok
     if on_tpu and TRANSPORT_BARRIER >= 1:
         # barrier experiment (measured no-win; see TRANSPORT_BARRIER)
         t_i8 = jnp.where(valid, jnp.minimum(tokens, 63), 0).astype(

@@ -1,12 +1,19 @@
 #!/usr/bin/env python
-"""Characterize the remote-TPU tunnel: h2d / d2h bandwidth vs stream
-count and chunk size, and whether the two directions share capacity
-(full duplex or not).  The e2e encoder is wire-bound on this rig, so
-transfer scheduling decisions (stripe sizes, worker counts, overlap
-strategy) must come from these numbers, not guesses.
+"""Tunnel probe, round 3: emulate the encoder's REAL transfer pattern.
 
-Run as a child with a timeout (the tunnel wedges processes; see
-CLAUDE.md).  Prints one JSON line.
+The encoder uploads per-LFG [2048,2048,3] u8 buffers (12.6 MB) striped
+into row chunks + a jitted on-device concat, then fetches a ~2 MB/LFG
+payload back.  earlier probe rounds swept flat fixed-total puts, which is not
+the same thing (no concat, no row slicing, different concurrency tail).
+
+Measures, on the real chip:
+  1. one-LFG upload latency vs stripe size (incl. the concat + a
+     dependent 1-word readback that proves completion);
+  2. a 4-LFG back-to-back upload train (the bench's actual h2d volume);
+  3. full duplex: a 12.6 MB upload concurrent with an 8 MB striped read
+     (does d2h steal from h2d on this tunnel?).
+
+Prints one JSON line.  Run: python scripts/tunnel_probe3.py
 """
 
 import json
@@ -25,119 +32,102 @@ def probe():
     import jax.numpy as jnp
 
     out = {"backend": jax.default_backend()}
+    pool = ThreadPoolExecutor(max_workers=16)
+    probe_jit = jax.jit(lambda a: a[:1, 0, 0])
 
-    # --- warm the link (first-transfer penalty) ---
-    warm = jnp.asarray(np.zeros((1 << 20,), np.uint8))
-    np.asarray(warm[:16])
+    px = np.random.randint(0, 255, (2048, 2048, 3), np.uint8)
+    concats = {}
 
-    # device-resident source for d2h reads: 32M u32 words (128 MB)
-    src = jnp.arange(32 << 20, dtype=jnp.uint32)
+    def upload(stripe_bytes: int):
+        """_upload_pixels replica with a parameterized stripe size;
+        returns the device array after a dependent readback."""
+        if stripe_bytes >= px.nbytes:
+            d = jnp.asarray(px)
+            np.asarray(probe_jit(d))
+            return d
+        row_bytes = px.nbytes // px.shape[0]
+        rows = max(32, ((stripe_bytes // row_bytes) >> 5) << 5)
+        starts = list(range(0, px.shape[0], rows))
+        futs = [pool.submit(jax.device_put, px[s:s + rows]) for s in starts]
+        chunks = [f.result() for f in futs]
+        f = concats.get(rows)
+        if f is None:
+            f = jax.jit(lambda *cs: jnp.concatenate(cs, axis=0))
+            concats[rows] = f
+        d = f(*chunks)
+        np.asarray(probe_jit(d))
+        return d
+
+    # warm the transfer path + each concat executable
+    sweeps = [(1 << 20, "1MB"), (2 << 20, "2MB"), (3 << 20, "3MB"),
+              (4 << 20, "4MB"), (6 << 20, "6MB"), (13 << 20, "whole")]
+    for sb, _name in sweeps:
+        upload(sb)
+
+    for sb, name in sweeps:
+        t0 = time.perf_counter()
+        upload(sb)
+        dt = time.perf_counter() - t0
+        out[f"h2d_1lfg_{name}_MBps"] = round(px.nbytes / dt / 1e6, 1)
+
+    # 4-LFG train at the two leading candidates
+    for sb, name in [(2 << 20, "2MB"), (4 << 20, "4MB"), (13 << 20, "whole")]:
+        t0 = time.perf_counter()
+        for _ in range(4):
+            upload(sb)
+        dt = time.perf_counter() - t0
+        out[f"h2d_4lfg_{name}_MBps"] = round(4 * px.nbytes / dt / 1e6, 1)
+
+    # async train: does NOT block per LFG (dispatch all, then block on
+    # each result's probe) -- the encoder's actual pattern, where the
+    # main thread moves on and completion is observed by the fetch thread
+    for sb, name in [(2 << 20, "2MB"), (4 << 20, "4MB")]:
+        row_bytes = px.nbytes // px.shape[0]
+        rows = max(32, ((sb // row_bytes) >> 5) << 5)
+        t0 = time.perf_counter()
+        devs = []
+        for _ in range(4):
+            starts = list(range(0, px.shape[0], rows))
+            futs = [pool.submit(jax.device_put, px[s:s + rows])
+                    for s in starts]
+            devs.append(concats[rows](*[f.result() for f in futs]))
+        for d in devs:
+            np.asarray(probe_jit(d))
+        dt = time.perf_counter() - t0
+        out[f"h2d_4lfg_async_{name}_MBps"] = round(4 * px.nbytes / dt / 1e6, 1)
+
+    # --- full duplex: 12.6 MB up concurrent with 8 MB down ---
+    src = jnp.arange(2 << 20, dtype=jnp.uint32)  # 8 MB resident
     np.asarray(src[:16])
-
     slicer = jax.jit(lambda a, s0, n: jax.lax.dynamic_slice(a, (s0,), (n,)),
                      static_argnames=("n",))
 
-    def d2h_read(start, words):
-        return np.asarray(slicer(src, start, words))
-
-    # --- d2h: single stream, chunk-size sweep ---
-    for mb in (1, 4, 16):
-        words = (mb << 20) // 4
-        d2h_read(0, words)  # compile
-        t0 = time.perf_counter()
-        d2h_read(words, words)
-        dt = time.perf_counter() - t0
-        out[f"d2h_1stream_{mb}MB_MBps"] = round(mb / dt, 1)
-
-    # --- d2h: stream-count sweep, 32 MB total ---
-    total_words = (32 << 20) // 4
-    for nstream in (4, 8, 16, 32):
-        chunk = total_words // nstream
-        pool = ThreadPoolExecutor(max_workers=nstream)
-        d2h_read(0, chunk)  # compile this chunk size
-        t0 = time.perf_counter()
-        futs = [pool.submit(d2h_read, i * chunk, chunk)
-                for i in range(nstream)]
+    def d2h_read(total_bytes: int, stripe_bytes: int = 1 << 20):
+        words = stripe_bytes // 4
+        n = total_bytes // stripe_bytes
+        futs = [pool.submit(lambda i=i: np.asarray(slicer(src, i * words,
+                                                          words)))
+                for i in range(n)]
         for f in futs:
             f.result()
-        dt = time.perf_counter() - t0
-        out[f"d2h_{nstream}stream_MBps"] = round(32 / dt, 1)
-        pool.shutdown()
 
-    # --- h2d: single stream, chunk-size sweep (u8) ---
-    for mb in (1, 4, 16):
-        buf = np.random.randint(0, 255, (mb << 20,), np.uint8)
-        d = jax.device_put(buf)
-        np.asarray(d[:1])  # warm shape
-        buf2 = np.random.randint(0, 255, (mb << 20,), np.uint8)
-        t0 = time.perf_counter()
-        d = jax.device_put(buf2)
-        np.asarray(d[:1])  # force completion
-        dt = time.perf_counter() - t0
-        out[f"h2d_1stream_{mb}MB_MBps"] = round(mb / dt, 1)
-
-    # --- h2d: stream-count sweep, 32 MB total ---
-    def h2d_put(buf):
-        d = jax.device_put(buf)
-        np.asarray(d[:1])
-        return d
-
-    for nstream in (4, 8, 16, 32):
-        chunk = (32 << 20) // nstream
-        bufs = [np.random.randint(0, 255, (chunk,), np.uint8)
-                for _ in range(nstream)]
-        h2d_put(bufs[0])  # warm shape
-        pool = ThreadPoolExecutor(max_workers=nstream)
-        t0 = time.perf_counter()
-        futs = [pool.submit(h2d_put, b) for b in bufs]
-        for f in futs:
-            f.result()
-        dt = time.perf_counter() - t0
-        out[f"h2d_{nstream}stream_MBps"] = round(32 / dt, 1)
-        pool.shutdown()
-
-    # --- does completion-forcing matter? h2d without the probe read ---
-    chunk = (32 << 20) // 8
-    bufs = [np.random.randint(0, 255, (chunk,), np.uint8) for _ in range(8)]
-    pool = ThreadPoolExecutor(max_workers=8)
+    d2h_read(8 << 20)  # warm
     t0 = time.perf_counter()
-    futs = [pool.submit(jax.device_put, b) for b in bufs]
-    ds = [f.result() for f in futs]
-    for d in ds:
-        d.block_until_ready()
-    dt = time.perf_counter() - t0
-    out["h2d_8stream_block_MBps"] = round(32 / dt, 1)
-    pool.shutdown()
+    d2h_read(8 << 20)
+    out["d2h_8MB_alone_MBps"] = round((8 << 20) / (time.perf_counter() - t0)
+                                      / 1e6, 1)
 
-    # --- duplex: 16 MB h2d + 16 MB d2h simultaneously (8+8 streams) ---
-    chunk_h = (16 << 20) // 8
-    chunk_d = (16 << 20) // 4 // 8
-    bufs = [np.random.randint(0, 255, (chunk_h,), np.uint8)
-            for _ in range(8)]
-    h2d_put(bufs[0])
-    d2h_read(0, chunk_d)
-    pool = ThreadPoolExecutor(max_workers=16)
     t0 = time.perf_counter()
-    futs = [pool.submit(h2d_put, b) for b in bufs]
-    futs += [pool.submit(d2h_read, i * chunk_d, chunk_d) for i in range(8)]
-    for f in futs:
-        f.result()
-    dt = time.perf_counter() - t0
-    out["duplex_16+16MB_aggregate_MBps"] = round(32 / dt, 1)
-    pool.shutdown()
-
-    # serial reference for the same 32 MB
-    t0 = time.perf_counter()
-    pool = ThreadPoolExecutor(max_workers=8)
-    futs = [pool.submit(h2d_put, b) for b in bufs]
-    for f in futs:
-        f.result()
-    futs = [pool.submit(d2h_read, i * chunk_d, chunk_d) for i in range(8)]
-    for f in futs:
-        f.result()
-    dt = time.perf_counter() - t0
-    out["serial_16+16MB_aggregate_MBps"] = round(32 / dt, 1)
-    pool.shutdown()
+    fu = pool.submit(upload, 4 << 20)
+    fd = pool.submit(d2h_read, 8 << 20)
+    fu.result()
+    tu = time.perf_counter() - t0
+    fd.result()
+    td = time.perf_counter() - t0
+    out["duplex_h2d_12.6MB_s"] = round(tu, 3)
+    out["duplex_d2h_8MB_s"] = round(td, 3)
+    out["duplex_total_MBps"] = round(((12.6 + 8) * 1e6 * 1.048)
+                                     / max(tu, td) / 1e6, 1)
 
     print(json.dumps(out))
     return out
@@ -160,8 +150,7 @@ def parent() -> int:
         if r.returncode == 0 and line:
             print(line)
             return 0
-        print(f"probe: attempt {attempt} rc={r.returncode}",
-              file=sys.stderr)
+        print(f"probe: attempt {attempt} rc={r.returncode}", file=sys.stderr)
     print(json.dumps({"error": "all attempts wedged"}))
     return 1
 

@@ -238,6 +238,56 @@ def test_buffered_encoder_push_model():
         be2.provide_output_buffer(bytearray(63))
 
 
+def test_buffered_encoder_tiny_buffer_multi_lfg():
+    """Adversarial 65-byte caller buffer through a MULTI-LFG streaming
+    jax-backend encode: thousands of suspend/swap cycles must deliver
+    exactly the pull-model bytes, and the adapter's internal backlog
+    must follow the caller's buffer size (sub-chunk pull granularity --
+    the memory-bound contract of libhydrium.c:114-166), not the 4 MB
+    iter_output default."""
+    from hydrium_tpu.encoder import BufferedEncoder, NEED_MORE_OUTPUT, OK
+
+    rng = np.random.default_rng(11)
+    w, h = 2600, 300
+    img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    meta = ImageMetadata(width=w, height=h)
+
+    ref_enc = Encoder(ImageMetadata(width=w, height=h), backend="jax",
+                      streaming=True)
+    ref_enc.send_tile(img[:, :2048], 0, 0)
+    ref_enc.send_tile(img[:, 2048:], 1, 0)
+    want = ref_enc.take_output()
+
+    be = BufferedEncoder(Encoder(meta, backend="jax", streaming=True))
+    buf = bytearray(65)
+    got = bytearray()
+    swaps = 0
+    max_backlog = 0
+
+    def drive(st):
+        nonlocal swaps, max_backlog
+        while st == NEED_MORE_OUTPUT:
+            swaps += 1
+            max_backlog = max(
+                max_backlog,
+                sum(len(c) - off for c, off in be._chunks))
+            n = be.release_output_buffer()
+            got.extend(buf[:n])
+            be.provide_output_buffer(buf)
+            st = be.pump()
+        assert st == OK
+
+    be.provide_output_buffer(buf)
+    drive(be.send_tile(img[:, :2048], 0, 0))
+    drive(be.send_tile(img[:, 2048:], 1, 0))
+    got.extend(buf[:be.release_output_buffer()])
+    assert be.finished
+    assert bytes(got) == want
+    assert swaps > 1000             # genuinely suspended mid-everything
+    # backlog bounded near the spool read unit, never a 4 MB chunk
+    assert max_backlog < 1 << 17
+
+
 def test_tiled_batch_deferred_ordering_parity():
     """send_tile_batch keeps stacked chunks in flight across calls and
     serializes per-tile frames on a worker pool; the output bytes must

@@ -214,6 +214,9 @@ def test_e2e_bytes_identical_packed_vs_raw(fmt, monkeypatch):
     sf = SampleFormat.UINT16 if fmt == "uint16" else SampleFormat.UINT8
 
     outs = {}
+    # face-value cap: this test pins the device unpack path, and the
+    # wire estimate legitimately declines this marginal content at u16
+    monkeypatch.setenv("HYDRIUM_PXPACK_WIRE_EST", "0")
     for flag in ("0", "1"):
         monkeypatch.setenv("HYDRIUM_PXPACK", flag)
         meta = ImageMetadata(width=img.shape[1], height=img.shape[0])
@@ -224,3 +227,38 @@ def test_e2e_bytes_identical_packed_vs_raw(fmt, monkeypatch):
             assert enc.stats.counters.get("pxpack_lfgs", 0) == 1
     assert outs["0"] == outs["1"]
     assert len(outs["0"]) > 100
+
+
+def test_px2_wire_estimate_declines_marginal_content(monkeypatch):
+    """PXPACK's decline decision must compare against the estimated
+    WIRE cost of the raw upload, not its face-value byte count: content
+    that bitpacks to ~0.5x raw but deflates to ~0.05x (flat with sparse
+    small spikes -- the transport compresses the raw form essentially
+    for free) is a net wire LOSS to pack.  With the estimate disabled
+    the old face-value cap must still accept it (regression guard for
+    the forced-cap paths)."""
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(5)
+    h, w = 256, 1024
+    px = np.full((h, w, 3), 128, np.uint8)
+    # one +-7 spike per 32-pixel block: per-block delta width stays ~4
+    # bits (packs to ~0.5x raw), yet deflate sees long flat runs
+    spots = rng.integers(0, 32, (h, w // 32, 3))
+    for c in range(3):
+        rows = np.repeat(np.arange(h), w // 32)
+        cols = (np.arange(w // 32)[None, :] * 32
+                + spots[:, :, c]).reshape(-1)
+        px[rows, cols, c] = 135
+    est = native.wire_raw_estimate(px)
+    assert est < 0.3 * px.nbytes          # deflate loves this content
+    monkeypatch.setenv("HYDRIUM_PXPACK_WIRE_EST", "1")
+    assert native.px_pack2(px) is None    # declined: raw is cheaper
+    monkeypatch.setenv("HYDRIUM_PXPACK_WIRE_EST", "0")
+    got = native.px_pack2(px)
+    assert got is not None                # face-value cap would pack
+    packed = sum(a.nbytes for a in got[1:5] if hasattr(a, "nbytes"))
+    assert packed < 0.97 * px.nbytes
+    # forced cap (smoke/tests) is never tightened by the estimate
+    monkeypatch.setenv("HYDRIUM_PXPACK_WIRE_EST", "1")
+    assert native.px_pack2(px, cap_ratio=100.0) is not None
