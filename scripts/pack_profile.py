@@ -115,6 +115,38 @@ def main(iters: int = 30) -> dict:
 
     timeit("tok_quad_fields", quads_only, vals_d, widths_d)
 
+    # the merge kernel's XLA-side input prep: quad -> oct -> bit-reversed
+    # column layout (ops/pallas/bitpack.merge_pack_chunks' pre-kernel
+    # work); attributes how much of tok_pack_mxu is NOT the kernel
+    def merge_input_prep(c, v, nb):
+        from hydrium_tpu.ops.pallas import bitpack as B
+
+        lanes, qbits = P._quad_fields(v ^ c.astype(jnp.uint32), nb, 12)
+        octs, obits = B._oct_fields(lanes, qbits, 12)
+        opc = P.TOK_CHUNK // 8
+        R_ = obits.shape[0] // opc
+        CB = B.CB
+        Rp = ((R_ + CB - 1) // CB) * CB
+        if Rp != R_:
+            pad = (Rp - R_) * opc
+            octs = tuple(jnp.concatenate([o, jnp.zeros((pad,), o.dtype)])
+                         for o in octs)
+            obits = jnp.concatenate([obits,
+                                     jnp.zeros((pad,), obits.dtype)])
+        Bn = Rp // CB
+        rev = B._bitrev_indices(opc)
+        cols = opc * CB
+
+        def to_cols(a):
+            return a.reshape(Bn, CB, opc)[:, :, rev].transpose(
+                0, 2, 1).reshape(Bn, 1, cols)
+
+        vals = jnp.concatenate([to_cols(o.astype(jnp.uint32))
+                                for o in octs], axis=1)
+        return vals
+
+    timeit("tok_merge_input_prep", merge_input_prep, vals_d, widths_d)
+
     # residue-shaped pack (fast budget: 15-bit fields, 2048-slot chunks)
     rw = np.minimum(widths, 10)
     rv = vals & ((1 << rw.astype(np.int64)) - 1).astype(np.uint32)
