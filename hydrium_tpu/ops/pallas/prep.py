@@ -74,30 +74,26 @@ def _double3(x):
     return c
 
 
-def _prep_kernel(tab_ref, tokens_ref, clusters_ref, vl_ref, res_ref,
-                 rbits_ref, tcode_ref, tbits_ref, rflat_ref, rbout_ref,
-                 p512_ref, r512_ref, *, tok_classes: int,
-                 debug_stage: int = 0):
+def _prep_kernel(tab_ref, p16_ref, res_ref, tcode_ref, tbits_ref,
+                 rflat_ref, rbout_ref, p512_ref, r512_ref, *,
+                 tok_classes: int, debug_stage: int = 0):
     # debug_stage (scripts/prep_profile.py only): 1 = stop after the
-    # field pack (stage 1), 2 = + doubling, 3 = + row emit without the
+    # input load (stage 1), 2 = + doubling, 3 = + row emit without the
     # lookup dot/selects; 0 = full production kernel.
-    # ---- stage 1: mask + fields in [TR, 64] ----
-    t32 = tokens_ref[...].astype(jnp.int32)
-    cls = _mod_mulshift(clusters_ref[...].astype(jnp.int32), tok_classes)
-    vl = vl_ref[...]                               # [TR, 1] i32
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TR, 64), 1)
-    maskb = lane < vl                              # [TR, 64]
-    t_idx = jnp.where(maskb, jnp.minimum(t32, 63), 0)
-    rb = jnp.where(maskb, rbits_ref[...].astype(jnp.int32), 0)
-    res = jnp.where(maskb, res_ref[...], jnp.uint32(0))
-    p16 = (t_idx | (cls << 6)
-           | (maskb.astype(jnp.int32) << 10) | (rb << 11))
+    # ---- stage 1: inputs arrive pre-packed (pipeline.py builds p16 =
+    # t_idx | cls<<6 | mask<<10 | rbits<<11 and pre-masked residues in
+    # the front's fused elementwise chain -- materializing TWO arrays
+    # instead of five; the XLA-side stores of [N,64] tensors measured
+    # ~0.8 ms each on this toolchain) ----
+    p16 = p16_ref[...].astype(jnp.int32)
+    res = res_ref[...]
     if debug_stage == 1:
         tcode_ref[...] = jnp.broadcast_to(
             jnp.sum(p16, axis=1, keepdims=True)[:OR_], (OR_, 512))
         tbits_ref[...] = jnp.zeros((OR_, 512), jnp.int32)
         rflat_ref[...] = jnp.broadcast_to(
-            jnp.sum(res, axis=1, keepdims=True)[:OR_], (OR_, 512))
+            jnp.sum(res.astype(jnp.int32), axis=1,
+                    keepdims=True)[:OR_], (OR_, 512)).astype(jnp.uint32)
         rbout_ref[...] = jnp.zeros((OR_, 512), jnp.int32)
         return
 
@@ -205,19 +201,31 @@ def _packed_tab(tok_len: jnp.ndarray, tok_code: jnp.ndarray) -> jnp.ndarray:
     return lohi.reshape(18, 64).astype(jnp.bfloat16)
 
 
+def pack_p16(tokens, clusters, valid_len, residue_bits,
+             tok_classes: int):
+    """The kernel's packed 16-bit field word, built in XLA so it fuses
+    into the front's elementwise chain: t_idx | cls<<6 | mask<<10 |
+    rbits<<11 (u16 [N, 64]).  Shared by the kernel input and the
+    sampled-histogram slices in pipeline._hf_transport_streams."""
+    valid = (jnp.arange(64)[None, :] < valid_len[:, None])
+    t_idx = jnp.where(valid, jnp.minimum(tokens, 63), 0).astype(jnp.int32)
+    cls = clusters.astype(jnp.int32) % tok_classes
+    rb = jnp.where(valid, residue_bits, 0).astype(jnp.int32)
+    return (t_idx | (cls << 6) | (valid.astype(jnp.int32) << 10)
+            | (rb << 11)).astype(jnp.uint16)
+
+
 @partial(jax.jit, static_argnames=("tok_classes", "interpret",
                                    "debug_stage"))
-def transport_prep(tokens: jnp.ndarray, clusters: jnp.ndarray,
-                   valid_len: jnp.ndarray, residues: jnp.ndarray,
-                   residue_bits: jnp.ndarray, tok_len: jnp.ndarray,
-                   tok_code: jnp.ndarray, *, tok_classes: int = 9,
-                   interpret: bool = False, debug_stage: int = 0):
-    """(tokens u16 [N,64], clusters u8 [N,64], valid_len i32 [N],
-    residues u32 [N,64], residue_bits u8 [N,64], tok_len/tok_code
-    [10*64]) -> (t_flat u32 [M], t_bits i32 [M], r_flat u32 [M],
-    r_bits i32 [M]) in flat slot order, bit-identical to the
-    _hf_transport_streams CPU expressions."""
-    N = tokens.shape[0]
+def transport_prep(p16: jnp.ndarray, resm: jnp.ndarray,
+                   tok_len: jnp.ndarray, tok_code: jnp.ndarray, *,
+                   tok_classes: int = 9, interpret: bool = False,
+                   debug_stage: int = 0):
+    """(p16 u16 [N,64] from pack_p16, resm u32 [N,64] pre-masked
+    residues, tok_len/tok_code [10*64]) -> (t_flat u32 [M], t_bits i32
+    [M], r_flat u32 [M], r_bits i32 [M]) in flat slot order,
+    bit-identical to the _hf_transport_streams CPU expressions."""
+    N = p16.shape[0]
     assert N % TR == 0, N
     g = N // TR
     tab18 = _packed_tab(tok_len, tok_code)
@@ -233,9 +241,6 @@ def transport_prep(tokens: jnp.ndarray, clusters: jnp.ndarray,
         grid=(g,),
         in_specs=[
             pl.BlockSpec((36, 128), lambda i: (0, 0)),
-            pl.BlockSpec((TR, 64), lambda i: (i, 0)),
-            pl.BlockSpec((TR, 64), lambda i: (i, 0)),
-            pl.BlockSpec((TR, 1), lambda i: (i, 0)),
             pl.BlockSpec((TR, 64), lambda i: (i, 0)),
             pl.BlockSpec((TR, 64), lambda i: (i, 0)),
         ],
@@ -256,8 +261,7 @@ def transport_prep(tokens: jnp.ndarray, clusters: jnp.ndarray,
             pltpu.VMEM((TR, 512), jnp.uint32),
         ],
         interpret=interpret,
-    )(tab, tokens, clusters, valid_len.reshape(N, 1).astype(jnp.int32),
-      residues, residue_bits)
+    )(tab, p16, resm)
     M = N * 64
     return (tcode.astype(jnp.uint32).reshape(M), tbits.reshape(M),
             rflat.reshape(M), rbits.reshape(M))

@@ -907,23 +907,27 @@ def _hf_transport_streams(out, tok_len: jnp.ndarray, tok_code: jnp.ndarray,
     # HYDRIUM_PLPREP=0 falls back to the XLA form.
     if (on_tpu and jax.devices()[0].platform == "tpu"
             and os.environ.get("HYDRIUM_PLPREP", "1") != "0"):
-        from .pallas.prep import transport_prep
+        from .pallas.prep import pack_p16, transport_prep
 
+        # TWO materialized arrays feed the kernel (p16 field word +
+        # pre-masked residues) -- each [N,64] store out of the front's
+        # fused chain measured ~0.8 ms on this toolchain, so packing
+        # five logical inputs into two is ~2.4 ms of the composed stage
+        p16 = pack_p16(tokens, out["clusters"], valid_len, residue_bits,
+                       tok_classes)
+        resm = jnp.where(valid, residues, 0)
         t_flat, t_bits, r_flat, r_bits = transport_prep(
-            tokens, out["clusters"], valid_len, residues, residue_bits,
-            tok_len, tok_code, tok_classes=tok_classes)
+            p16, resm, tok_len, tok_code, tok_classes=tok_classes)
         # sampled per-class histogram (identical counts to the XLA
-        # branch): slice every HS-th block-channel ROW before the
-        # flatten, so the relayout the one-hot dots pay is HS-x smaller
+        # branch): slice every HS-th block-channel ROW of the SAME p16
+        # buffer the kernel reads (no extra materialization), before
+        # the flatten, so the relayout the one-hot dots pay is HS-x
+        # smaller
         HS = HIST_SAMPLE_STRIDE if N % HIST_SAMPLE_STRIDE == 0 else 1
-        tok_s = tokens[::HS]
-        cls_s = out["clusters"][::HS]
-        vl_s = valid_len[::HS]
-        valid_s = (jnp.arange(64)[None, :] < vl_s[:, None])
-        t_h = jnp.where(valid_s, jnp.minimum(tok_s, 63), 0).astype(
-            jnp.int32).reshape(-1)
-        c_h = (cls_s.astype(jnp.int32) % tok_classes).reshape(-1)
-        m_h = valid_s.astype(jnp.int32).reshape(-1)
+        p16_s = p16[::HS].astype(jnp.int32)
+        t_h = (p16_s & 63).reshape(-1)
+        c_h = ((p16_s >> 6) & 15).reshape(-1)
+        m_h = ((p16_s >> 10) & 1).reshape(-1)
         oh_tok_h = (t_h[:, None] == jnp.arange(64, dtype=jnp.int32)[
             None, :]).astype(jnp.bfloat16)
         oh_cls_h = (c_h[:, None] == jnp.arange(9, dtype=jnp.int32)[

@@ -29,7 +29,7 @@ def main(iters: int = 30) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from hydrium_tpu.ops.pallas.prep import transport_prep
+    from hydrium_tpu.ops.pallas.prep import pack_p16, transport_prep
 
     rng = np.random.default_rng(0)
     N = 64 * 3072                       # one 2048^2 LFG
@@ -46,12 +46,16 @@ def main(iters: int = 30) -> dict:
     out = {"metric": "transport-prep kernel stage attribution",
            "unit": "ms", "backend": jax.default_backend(), "iters": iters}
 
+    p16 = pack_p16(tokens, clusters, vl, rbits, 9)
+    valid = (jnp.arange(64)[None, :] < vl[:, None])
+    resm = jnp.where(valid, residues, 0)
+
     def timeit(name, stage):
         @jax.jit
         def loop(n, tk):
             def body(_i, carry):
                 r = transport_prep(tk + carry.astype(jnp.uint16),
-                                   clusters, vl, residues, rbits, lens,
+                                   resm, lens,
                                    codes, tok_classes=9,
                                    debug_stage=stage)
                 probe = (jnp.sum(r[0].astype(jnp.float32))
@@ -60,10 +64,10 @@ def main(iters: int = 30) -> dict:
                         >> jnp.uint32(31)).astype(jnp.uint16)
             return jax.lax.fori_loop(0, n, body, jnp.uint16(0))
 
-        np.asarray(loop(1, tokens))
-        overhead = min(_t(lambda: np.asarray(loop(1, tokens)))
+        np.asarray(loop(1, p16))
+        overhead = min(_t(lambda: np.asarray(loop(1, p16)))
                        for _ in range(3))
-        total = min(_t(lambda: np.asarray(loop(iters, tokens)))
+        total = min(_t(lambda: np.asarray(loop(iters, p16)))
                     for _ in range(3))
         ms = max(total - overhead, 0.0) / max(iters - 1, 1) * 1e3
         out[name] = round(ms, 3)

@@ -61,7 +61,12 @@ def main(iters: int = 20) -> dict:
            "unit": "ms", "backend": jax.default_backend(), "iters": iters,
            "barrier": P.TRANSPORT_BARRIER}
 
+    only = (set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None)
+
     def timeit(name, fn, *args):
+        if only is not None and name not in only:
+            return
+
         @jax.jit
         def loop(n, *a):
             def body(_i, carry):
@@ -386,6 +391,65 @@ def main(iters: int = 20) -> dict:
                 + jnp.sum(t_bits.astype(jnp.float32)))
 
     timeit("s12_dot18", s12, px)
+
+    def s13(c, p):
+        """Materialize the prep kernel's five RAW inputs (no masks, no
+        casts, no flatten): the cost of the front handing its tensors
+        to a pallas_call."""
+        o = front(c, p)
+        t, cl, rs, rb, vl = jax.lax.optimization_barrier(
+            (o["tokens"], o["clusters"], o["residues"],
+             o["residue_bits"], o["valid_len"]))
+        return (jnp.sum(t.astype(jnp.float32))
+                + jnp.sum(cl.astype(jnp.float32))
+                + jnp.sum(rs.astype(jnp.float32))
+                + jnp.sum(rb.astype(jnp.float32))
+                + jnp.sum(vl.astype(jnp.float32)))
+
+    timeit("s13_raw_inputs", s13, px)
+
+    if jax.devices()[0].platform == "tpu":
+        from hydrium_tpu.ops.pallas.prep import transport_prep
+
+        def s15(c, p):
+            """front + prep kernel only (no hist, no tok_ok): the
+            production composition minus the XLA remnants."""
+            o = front(c, p)
+            t_flat, t_bits, r_flat, r_bits = transport_prep(
+                o["tokens"], o["clusters"], o["valid_len"],
+                o["residues"], o["residue_bits"], lens_d, codes_d,
+                tok_classes=9)
+            return (jnp.sum(t_flat.astype(jnp.float32))
+                    + jnp.sum(t_bits.astype(jnp.float32))
+                    + jnp.sum(r_flat.astype(jnp.float32))
+                    + jnp.sum(r_bits.astype(jnp.float32)))
+
+        timeit("s15_front_kernel", s15, px)
+
+        def s16(c, p):
+            """front + sampled hist + tok_ok only (no kernel)."""
+            o = front(c, p)
+            HS = 4
+            tok_s = o["tokens"][::HS]
+            cls_s = o["clusters"][::HS]
+            vl_s = o["valid_len"][::HS]
+            valid_s = (jnp.arange(64)[None, :] < vl_s[:, None])
+            t_h = jnp.where(valid_s, jnp.minimum(tok_s, 63), 0).astype(
+                jnp.int32).reshape(-1)
+            c_h = (cls_s.astype(jnp.int32) % 9).reshape(-1)
+            m_h = valid_s.astype(jnp.int32).reshape(-1)
+            oh_tok_h = (t_h[:, None] == jnp.arange(
+                64, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+            oh_cls_h = (c_h[:, None] == jnp.arange(
+                9, dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
+            hist64 = jnp.dot(
+                (oh_cls_h * m_h[:, None].astype(jnp.bfloat16)).T,
+                oh_tok_h, preferred_element_type=jnp.float32)
+            valid = (jnp.arange(64)[None, :] < o["valid_len"][:, None])
+            ok = jnp.all(jnp.where(valid, o["tokens"], 0) < 64)
+            return (jnp.sum(hist64) + ok.astype(jnp.float32))
+
+        timeit("s16_front_hist_ok", s16, px)
 
     print(json.dumps(out))
     return out

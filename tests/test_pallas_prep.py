@@ -10,7 +10,8 @@ import pytest
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp
 
-from hydrium_tpu.ops.pallas.prep import TR, _mod_mulshift, transport_prep
+from hydrium_tpu.ops.pallas.prep import (TR, _mod_mulshift, pack_p16,
+                                          transport_prep)
 
 
 def _reference(tokens, clusters, valid_len, residues, residue_bits,
@@ -55,9 +56,12 @@ def test_prep_kernel_interpret_exact(tok_classes):
     # random content there to prove the masking itself)
     lens, codes = _mk_tables(rng)
 
-    got = transport_prep(jnp.asarray(tokens), jnp.asarray(clusters),
-                         jnp.asarray(valid_len), jnp.asarray(residues),
-                         jnp.asarray(residue_bits), jnp.asarray(lens),
+    p16 = pack_p16(jnp.asarray(tokens), jnp.asarray(clusters),
+                   jnp.asarray(valid_len), jnp.asarray(residue_bits),
+                   tok_classes)
+    valid = np.arange(64)[None, :] < valid_len[:, None]
+    resm = jnp.asarray(np.where(valid, residues, 0).astype(np.uint32))
+    got = transport_prep(p16, resm, jnp.asarray(lens),
                          jnp.asarray(codes), tok_classes=tok_classes,
                          interpret=True)
     want = _reference(tokens, clusters, valid_len, residues,
@@ -79,9 +83,11 @@ def test_prep_kernel_multi_program():
     residues = rng.integers(0, 1 << 30, (N, 64)).astype(np.uint32)
     residue_bits = rng.integers(0, 31, (N, 64)).astype(np.uint8)
     lens, codes = _mk_tables(rng)
-    got = transport_prep(jnp.asarray(tokens), jnp.asarray(clusters),
-                         jnp.asarray(valid_len), jnp.asarray(residues),
-                         jnp.asarray(residue_bits), jnp.asarray(lens),
+    p16 = pack_p16(jnp.asarray(tokens), jnp.asarray(clusters),
+                   jnp.asarray(valid_len), jnp.asarray(residue_bits), 9)
+    valid = np.arange(64)[None, :] < valid_len[:, None]
+    resm = jnp.asarray(np.where(valid, residues, 0).astype(np.uint32))
+    got = transport_prep(p16, resm, jnp.asarray(lens),
                          jnp.asarray(codes), tok_classes=9,
                          interpret=True)
     want = _reference(tokens, clusters, valid_len, residues,
