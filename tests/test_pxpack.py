@@ -232,33 +232,48 @@ def test_e2e_bytes_identical_packed_vs_raw(fmt, monkeypatch):
 def test_px2_wire_estimate_declines_marginal_content(monkeypatch):
     """PXPACK's decline decision must compare against the estimated
     WIRE cost of the raw upload, not its face-value byte count: content
-    that bitpacks to ~0.5x raw but deflates to ~0.05x (flat with sparse
-    small spikes -- the transport compresses the raw form essentially
-    for free) is a net wire LOSS to pack.  With the estimate disabled
-    the old face-value cap must still accept it (regression guard for
-    the forced-cap paths)."""
+    that bitpacks to ~0.75x raw while the transport's byte-RLE gets
+    ~0.51x on the raw form (flat with sparse +-30 spikes: long
+    identical-byte runs, but 6-bit per-block delta widths) is a net
+    wire LOSS to pack.  With the estimate
+    disabled the old face-value cap must still accept it (regression
+    guard for the forced-cap paths).  Smooth interleaved-RGB gradients
+    -- whose adjacent bytes never repeat, so the transport gets almost
+    nothing -- must KEEP packing (the zlib-proxy regression that
+    uploaded 12.6 MB raw where 1.5 MB packed sufficed)."""
     if not native.available():
         pytest.skip("native lib unavailable")
     rng = np.random.default_rng(5)
     h, w = 256, 1024
     px = np.full((h, w, 3), 128, np.uint8)
-    # one +-7 spike per 32-pixel block: per-block delta width stays ~4
-    # bits (packs to ~0.5x raw), yet deflate sees long flat runs
+    # one +-30 spike per 32-pixel block: per-block delta width ~6 bits
+    # (packs to ~0.75x raw), yet the wire sees long identical-byte runs
     spots = rng.integers(0, 32, (h, w // 32, 3))
     for c in range(3):
         rows = np.repeat(np.arange(h), w // 32)
         cols = (np.arange(w // 32)[None, :] * 32
                 + spots[:, :, c]).reshape(-1)
-        px[rows, cols, c] = 135
+        px[rows, cols, c] = 158
     est = native.wire_raw_estimate(px)
-    assert est < 0.3 * px.nbytes          # deflate loves this content
+    assert est < 0.6 * px.nbytes          # byte-RLE loves this content
     monkeypatch.setenv("HYDRIUM_PXPACK_WIRE_EST", "1")
     assert native.px_pack2(px) is None    # declined: raw is cheaper
     monkeypatch.setenv("HYDRIUM_PXPACK_WIRE_EST", "0")
     got = native.px_pack2(px)
     assert got is not None                # face-value cap would pack
     packed = sum(a.nbytes for a in got[1:5] if hasattr(a, "nbytes"))
-    assert packed < 0.97 * px.nbytes
+    assert 0.5 * px.nbytes < packed < 0.97 * px.nbytes
     # forced cap (smoke/tests) is never tightened by the estimate
     monkeypatch.setenv("HYDRIUM_PXPACK_WIRE_EST", "1")
     assert native.px_pack2(px, cap_ratio=100.0) is not None
+
+    # smooth interleaved gradient: barely transport-compressible
+    # (adjacent bytes cycle r,g,b), packs ~8x -- must stay packed
+    xx = np.arange(w, dtype=np.float32)[None, :, None]
+    yy = np.arange(h, dtype=np.float32)[:, None, None]
+    smooth = np.clip(128 + 80 * np.sin(xx / 971.0) * np.cos(yy / 533.0)
+                     + np.arange(3)[None, None, :], 0,
+                     255).astype(np.uint8)
+    est_s = native.wire_raw_estimate(smooth)
+    assert est_s > 0.85 * smooth.nbytes
+    assert native.px_pack2(smooth) is not None
