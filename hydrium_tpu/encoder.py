@@ -92,14 +92,47 @@ def _shared_codec():
         from .jxl.tokcode import TokenCodec
 
         _SHARED_CODEC = TokenCodec(cache_path=_WARM_CACHE)
+        _load_warm_hints()
     return _SHARED_CODEC
 
 
 def _save_warm_state() -> None:
-    """Persist the codec (best effort, called at encode finalize)."""
+    """Persist the codec and the fetch-sizing hints (best effort,
+    called at encode finalize).  The hints only affect transfer
+    scheduling -- a stale hint costs one ranged top-up or a skipped
+    group fetch, never correctness -- and persisting them lets a fresh
+    process (a one-shot CLI encode) take the frame-level single fetch
+    and the wide residue executable on its FIRST encode."""
     try:
         if _SHARED_CODEC is not None and not _SHARED_CODEC.cold:
             _SHARED_CODEC.save(_WARM_CACHE)
+        import json as _json
+
+        hints = {
+            "need": {f"{h}x{w}": v for (h, w), v in
+                     _JaxDispatch._NEED_HINT.items()},
+            "wide": [f"{h}x{w}x{f}" for (h, w, f), v in
+                     _JaxDispatch._WIDE_HINT.items() if v],
+        }
+        with open(_WARM_CACHE + ".hints.json", "w") as f:
+            _json.dump(hints, f)
+    except Exception:
+        pass
+
+
+def _load_warm_hints() -> None:
+    try:
+        import json as _json
+
+        with open(_WARM_CACHE + ".hints.json") as f:
+            hints = _json.load(f)
+        for k, v in hints.get("need", {}).items():
+            h, w = k.split("x")
+            _JaxDispatch._NEED_HINT.setdefault((int(h), int(w)), int(v))
+        for k in hints.get("wide", []):
+            h, w, fmt = k.split("x")
+            _JaxDispatch._WIDE_HINT.setdefault((int(h), int(w), fmt),
+                                               True)
     except Exception:
         pass
 

@@ -124,3 +124,28 @@ def test_group_fetch_e2e_byte_equality(monkeypatch):
     assert stats.counters.get("group_fetches", 0) >= 1
     assert stats.counters.get("group_members", 0) >= 2
     assert stats.counters.get("lfg_packed", 0) == 4
+
+
+def test_warm_hints_roundtrip(tmp_path, monkeypatch):
+    """Fetch-sizing hints persist with the warm codec state, so a fresh
+    process's FIRST encode can take the frame-level single fetch and
+    the wide executable (hints affect scheduling only, never bytes)."""
+    import hydrium_tpu.encoder as E
+
+    monkeypatch.setattr(E, "_WARM_CACHE", str(tmp_path / "warm.npz"))
+    saved_need = dict(E._JaxDispatch._NEED_HINT)
+    saved_wide = dict(E._JaxDispatch._WIDE_HINT)
+    try:
+        E._JaxDispatch._NEED_HINT[(512, 2048)] = 1234
+        E._JaxDispatch._WIDE_HINT[(512, 2048, "uint8")] = True
+        E._save_warm_state()
+        E._JaxDispatch._NEED_HINT.clear()
+        E._JaxDispatch._WIDE_HINT.clear()
+        E._load_warm_hints()
+        assert E._JaxDispatch._NEED_HINT[(512, 2048)] == 1234
+        assert E._JaxDispatch._WIDE_HINT[(512, 2048, "uint8")] is True
+    finally:
+        E._JaxDispatch._NEED_HINT.clear()
+        E._JaxDispatch._NEED_HINT.update(saved_need)
+        E._JaxDispatch._WIDE_HINT.clear()
+        E._JaxDispatch._WIDE_HINT.update(saved_wide)
