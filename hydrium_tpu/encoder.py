@@ -1667,11 +1667,13 @@ class Encoder:
                         self.stats.count("checksum_errors")
                         return
                     self.stats.count("lfg_packed")
-                    unit["result"] = (parsed, lut)
                     # per-tile walk + ANS + frame serialization start NOW
                     # (4-worker pool, GIL released in C++), overlapping
                     # the remaining units' fetches; _tb_drain_unit only
-                    # collects results in send order
+                    # collects results in send order (and falls back
+                    # per-tile if futs stayed None because this
+                    # submission failed mid-way)
+                    unit["result"] = (parsed, lut)
                     self._tb_submit_renders(unit)
                 except Exception as e:   # tunnel failure -> per-tile path
                     self.stats.count("prefetch_errors")
@@ -1776,8 +1778,9 @@ class Encoder:
             return
         unit["thread"].join()
         px = unit["px"]
-        if unit["result"] is None:
-            # overflow / corrupt / tunnel failure: per-tile fallback.
+        if unit["result"] is None or unit["futs"] is None:
+            # overflow / corrupt / tunnel failure (or the early-render
+            # submission itself failed): per-tile fallback.
             # Re-arm this unit's header claim so its first fallback
             # frame writes the image header the claim reserved.
             if unit["include_header"]:
