@@ -1264,6 +1264,8 @@ class Encoder:
         self._wrote_header = False
         self._finished = False
         self._tb_units = []          # tiled-mode in-flight batch units
+        self._tb_run = []            # pending cross-call stacked run
+        self._tb_flush_pending = False
         self._codec = None
         if backend == "jax":
             import threading
@@ -1519,7 +1521,16 @@ class Encoder:
         from .ops.pipeline import encode_lfg_packed
 
         tw, th = m.tile_width, m.tile_height
-        K_stack = max(1, 4096 // th)
+        # stacked-chunk height: more tiles per chunk = fewer dispatch/
+        # fetch round trips and bigger serialization batches, at the
+        # cost of a taller compiled buffer shape.  8192 is plausible on
+        # paper but its pipeline executable never finished compiling
+        # before the 2026-08-20 tunnel entered its wedge regime, so the
+        # default stays at the validated 4096 (cross-call run
+        # accumulation still fills these chunks fully);
+        # HYDRIUM_TB_STACK_PX=8192 re-runs the experiment.
+        K_stack = max(1, int(os.environ.get("HYDRIUM_TB_STACK_PX",
+                                            "4096")) // th)
         gcx = tw >> 8
         gpt = (th >> 8) * gcx            # groups per full tile
         cm = tables_hf_cluster_map_1()
@@ -1684,12 +1695,21 @@ class Encoder:
             t.start()
             return unit
 
-        run = []
+        # partial runs PERSIST across send_tile_batch calls (pixel data
+        # is copied on append, so the caller's strip buffer stays
+        # reusable the moment this call returns): row-at-a-time callers
+        # -- the CLI and the bench -- otherwise cap every chunk at one
+        # row's tile count and pay a dispatch + fetch round trip per
+        # row.  A pending run flushes on an edge tile, a full chunk,
+        # the last tile, or a single-tile send (_tb_drain_all).
+        run = getattr(self, "_tb_run", None) or []
+        self._tb_run = []
         for pixels, tx, ty in entries:
             lfg = self._tile_geometry(tx, ty)
             self.stats.pixels += lfg.height * lfg.width
             if lfg.height == th and lfg.width == tw:
-                run.append((pixels, tx, ty, lfg))
+                run.append((np.array(pixels[:th, :tw], copy=True),
+                            tx, ty, lfg))
                 if len(run) == K_stack:
                     self._tb_units.append(dispatch_chunk(run))
                     run = []
@@ -1709,11 +1729,14 @@ class Encoder:
                                        "hf": hf, "lfg": lfg,
                                        "tx": tx, "ty": ty,
                                        "include_header": include_header})
-        if run:
-            self._tb_units.append(dispatch_chunk(run))
 
         contains_last = any(self._tile_is_last(tx, ty, tw, th, -1)
                             for _p, tx, ty in entries)
+        if run:
+            if contains_last or self._tb_flush_pending:
+                self._tb_units.append(dispatch_chunk(run))
+            else:
+                self._tb_run = run
         keep = 0 if contains_last else 2
         while len(self._tb_units) > keep:
             self._tb_drain_unit(self._tb_units.pop(0), fmt)
@@ -1809,6 +1832,14 @@ class Encoder:
         return self._tb_pool_
 
     def _tb_drain_all(self, fmt: str) -> None:
+        if getattr(self, "_tb_run", None):
+            # dispatch the pending cross-call run first -- nothing may
+            # emit ahead of tiles already accepted (send order)
+            self._tb_flush_pending = True
+            try:
+                self.send_tile_batch([], sample_fmt=SampleFormat(fmt))
+            finally:
+                self._tb_flush_pending = False
         while self._tb_units:
             self._tb_drain_unit(self._tb_units.pop(0), fmt)
 
