@@ -149,3 +149,36 @@ def test_warm_hints_roundtrip(tmp_path, monkeypatch):
         E._JaxDispatch._NEED_HINT.update(saved_need)
         E._JaxDispatch._WIDE_HINT.clear()
         E._JaxDispatch._WIDE_HINT.update(saved_wide)
+
+
+def test_group_force_arm_timeout(monkeypatch):
+    """A group whose frame never completes (slow caller) must still
+    fetch: the drain-side ensure() force-arms after the bounded wait
+    with whatever members registered, and the result matches the
+    individual protocol."""
+    import hydrium_tpu.encoder as E
+
+    monkeypatch.setattr(E, "_GROUP_FETCH_WAIT_S", 0.05)
+    out = _mk_payload(9)
+
+    class H:
+        buf_h = buf_w = 256
+        _aux = None
+        _words = None
+        _pf_ran = False
+        _hist_folded = False
+        _codec = None
+
+        def join_prepare(self):
+            pass
+
+    h = H()
+    h.out = {"combined": out}
+    E._JaxDispatch._NEED_HINT.setdefault((256, 256), 64)
+    g = E._FetchGroup(None)
+    assert g.register(h)
+    # nobody ever arms; ensure() must force-arm and complete
+    g.ensure(h)
+    assert h._pf_ran and h._aux is not None
+    ref_aux, _ = fetch_packed_payload(out, 256, 256)
+    np.testing.assert_array_equal(h._aux, ref_aux)
