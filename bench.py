@@ -125,6 +125,12 @@ def _merge_best(best, got):
             for c in companions:
                 if c in got:
                     best[c] = got[c]
+                else:
+                    # the winner carries no value for this companion:
+                    # DROP the loser's, or the new number would wear a
+                    # stale window/timestamp attribution (and a stale
+                    # number could wear a fresh one)
+                    best.pop(c, None)
     return best
 
 
@@ -173,8 +179,12 @@ def merge_with_artifacts(best):
             tags = {"value": "value", "smooth_mpix_s": "smooth",
                     "tiled_mpix_s": "tiled", "photo_mpix_s": "photo"}
             for key, tag in tags.items():
-                ts = prev.get(f"{tag}_measured_unix",
-                              prev.get("measured_unix", 0))
+                # NO fallback to the entry-level measured_unix: that
+                # stamp refreshes on every write-back, so an unstamped
+                # group would be resurrected as "fresh" forever (the
+                # parent now stamps every measured group, so a missing
+                # per-group stamp means legacy/unattributable -> stale)
+                ts = prev.get(f"{tag}_measured_unix", 0)
                 if now - ts >= _BENCH_MERGE_MAX_AGE_S:
                     prev.pop(key, None)
             merged = _merge_best(merged, prev)
@@ -228,6 +238,19 @@ def parent(iters: int) -> int:
         if state["printed"]:
             return
         state["printed"] = True
+        # stamp every group measured THIS run (signal exits included):
+        # the artifacts age gate keys on per-group stamps only, so an
+        # unstamped group would be dropped as legacy-stale on the next
+        # merge
+        if state["best"] is not None:
+            ts = int(time.time())
+            for key, tag in (("value", "value"),
+                             ("smooth_mpix_s", "smooth"),
+                             ("tiled_mpix_s", "tiled"),
+                             ("photo_mpix_s", "photo")):
+                if (state["best"].get(key, 0) > 0
+                        and f"{tag}_measured_unix" not in state["best"]):
+                    state["best"][f"{tag}_measured_unix"] = ts
         # best-of-merge against the round's recorded window_watch/bench
         # results: a starved window annotates, it does not define the
         # scoreboard (VERDICT r4 weakness 1)
@@ -333,6 +356,8 @@ def parent(iters: int) -> int:
             elif rc != -1:
                 print(f"bench: attempt {attempt} failed rc={rc}",
                       file=sys.stderr, flush=True)
+        pre = {"value": "value", "smooth_mpix_s": "smooth",
+               "tiled_mpix_s": "tiled", "photo_mpix_s": "photo"}
         # attach the window's measured bandwidth to the scored line:
         # the tunnel swings >3x between windows, so a throughput score
         # without its window context is unattributable.  Random bytes
@@ -347,17 +372,9 @@ def parent(iters: int) -> int:
             p = run_probe(timeout=min(60.0, deadline - time.monotonic()))
             if p is not None:
                 state["best"]["window_mbps"] = p
-                # attribute every group measured THIS run to this
-                # window (the artifacts merge in _emit may later import
-                # groups measured in other windows, which carry their
-                # own annotations)
-                ts = int(time.time())
-                pre = {"value": "value", "smooth_mpix_s": "smooth",
-                       "tiled_mpix_s": "tiled", "photo_mpix_s": "photo"}
                 for key, tag in pre.items():
                     if state["best"].get(key, 0) > 0:
                         state["best"][f"{tag}_window_mbps"] = p
-                        state["best"][f"{tag}_measured_unix"] = ts
         _emit()
         return 0 if state["best"] is not None else 1
     finally:

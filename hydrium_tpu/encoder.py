@@ -1265,6 +1265,7 @@ class Encoder:
         self._finished = False
         self._tb_units = []          # tiled-mode in-flight batch units
         self._tb_run = []            # pending cross-call stacked run
+        self._tb_run_fmt = None      # the pending run's sample format
         self._tb_flush_pending = False
         self._codec = None
         if backend == "jax":
@@ -1282,6 +1283,11 @@ class Encoder:
             # order, exactly as the previous main-thread drain did.
             self._drain_exec = ThreadPoolExecutor(
                 max_workers=1, thread_name_prefix="drain")
+            # eager: _tb_submit_renders calls _tb_pool() from unit
+            # fetch threads, and the lazy check-then-set raced there
+            # (threads only spawn on first submit, so this is free)
+            self._tb_pool_ = ThreadPoolExecutor(
+                max_workers=4, thread_name_prefix="hyd-tile")
 
         m = metadata
         from .jxl import native as _native
@@ -1449,7 +1455,14 @@ class Encoder:
             lfg_count_x=1, lf_groups=[lfg], lfg_arrival=[0])
         main = new_bitwriter()
         if include_header:
-            self._image_header(main)
+            # write WITHOUT mutating self._wrote_header: this runs on
+            # render pool threads, and a straggler render must never
+            # race the fallback path's header re-arm (the claim sites
+            # own the flag)
+            headers.write_image_header(
+                main, self.metadata.width, self.metadata.height,
+                self.metadata.level10, getattr(self, "_icc_payload",
+                                               None))
         write_frame_header(main, geo, last)
         asm = _FrameAssembler(geo.num_frame_groups > 1)
         with self.stats.stage("lf_sections"):
@@ -1472,6 +1485,8 @@ class Encoder:
                           include_header: Optional[bool] = None) -> None:
         if include_header is None:
             include_header = not self._wrote_header
+        if include_header:
+            self._wrote_header = True
         data = self._render_tiled_frame(lfg, last, lf_q, lf_res, hf,
                                         include_header)
         self._out.extend(data)
@@ -1701,7 +1716,18 @@ class Encoder:
         # -- the CLI and the bench -- otherwise cap every chunk at one
         # row's tile count and pay a dispatch + fetch round trip per
         # row.  A pending run flushes on an edge tile, a full chunk,
-        # the last tile, or a single-tile send (_tb_drain_all).
+        # the last tile, a single-tile send (_tb_drain_all), or a
+        # SAMPLE-FORMAT change -- dispatch_chunk closes over THIS
+        # call's fmt, so a held run must never cross formats (it would
+        # encode the old tiles under the new format).
+        if (getattr(self, "_tb_run", None)
+                and self._tb_run_fmt != fmt):
+            old_fmt = self._tb_run_fmt
+            self._tb_flush_pending = True
+            try:
+                self.send_tile_batch([], sample_fmt=SampleFormat(old_fmt))
+            finally:
+                self._tb_flush_pending = False
         run = getattr(self, "_tb_run", None) or []
         self._tb_run = []
         for pixels, tx, ty in entries:
@@ -1737,6 +1763,7 @@ class Encoder:
                 self._tb_units.append(dispatch_chunk(run))
             else:
                 self._tb_run = run
+                self._tb_run_fmt = fmt
         keep = 0 if contains_last else 2
         while len(self._tb_units) > keep:
             self._tb_drain_unit(self._tb_units.pop(0), fmt)
@@ -1834,10 +1861,13 @@ class Encoder:
     def _tb_drain_all(self, fmt: str) -> None:
         if getattr(self, "_tb_run", None):
             # dispatch the pending cross-call run first -- nothing may
-            # emit ahead of tiles already accepted (send order)
+            # emit ahead of tiles already accepted (send order); the
+            # run flushes under ITS OWN sample format, not the new
+            # tile's
             self._tb_flush_pending = True
             try:
-                self.send_tile_batch([], sample_fmt=SampleFormat(fmt))
+                self.send_tile_batch(
+                    [], sample_fmt=SampleFormat(self._tb_run_fmt))
             finally:
                 self._tb_flush_pending = False
         while self._tb_units:
@@ -1925,6 +1955,12 @@ class Encoder:
             # LF group's tunnel fetch instead of blocking the main thread
             handle._future = self._drain_exec.submit(
                 self._drain_work, handle)
+            if (len(self._pending) > self.MAX_INFLIGHT
+                    and self._fetch_group is not None):
+                # about to block in _drain_one: no further members can
+                # register while we wait, so arm now instead of making
+                # the drain worker's ensure() burn its force-arm wait
+                self._fetch_group.arm()
             while len(self._pending) > self.MAX_INFLIGHT:
                 self._drain_one()
         else:

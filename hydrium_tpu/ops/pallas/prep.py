@@ -11,20 +11,21 @@ All of it is near-bandwidth-free arithmetic once VMEM-resident.
 
 Kernel stages (per grid program, TR=1024 block-channel rows):
 
-1. mask + field-pack in [TR, 64]: valid = lane < valid_len (valid_len
-   rides a [N, 1] input); p16 = t_idx | cls<<6 | mask<<10 | rbits<<11,
-   cls = clusters % tok_classes via exact multiply-shift (no integer
-   div for Mosaic).  Beyond-valid slots zero every field.
+1. inputs arrive as TWO pre-packed arrays (pack_p16 builds the p16
+   field word t_idx | cls<<6 | mask<<10 | rbits<<11 and the caller
+   pre-masks residues INSIDE the front's fused elementwise chain --
+   each extra [N,64] store out of that chain costs ~0.8 ms in XLA's
+   codegen, so five logical inputs collapse to two).
 2. flat-order row build: three concat+roll doubling levels turn row r
    into [X[r], .., X[r+7]] (512 lanes); row 8k is then exactly flat
    slots [512k, 512k+512).  No matmul, stays integer.
-3. per-output-row loop (TR/8 iters): dynamic-slice row 8k, transport
-   lookup via a [64, 512] token one-hot (sublane axis = token value)
-   contracted with the packed per-class table tab [18, 64] on the MXU
-   (both operands < 256, bf16-exact; f32 accumulation), 9-way class
-   select of the two 8-bit halves, code/len unpack, masked emit.
-   Residue words/bit-widths for the same row are sliced from their own
-   doubled tensors and written unchanged.
+3. batched-row lookup (TR/8/RB iters of RB=16 rows): slice rows 8k,
+   transport lookup via a [128, RB*256] token one-hot (sublane axis =
+   token value, two slot-halves sharing the contraction) against the
+   block-diagonal packed table [36, 128] on the MXU (operands < 256,
+   bf16-exact; f32 accumulation), per-class select of the two 8-bit
+   halves, code/len unpack, masked emit.  Residue words/bit-widths
+   for the same rows are sliced from their own doubled tensor.
 
 Bit-identical to the XLA/CPU branch by construction; pinned by
 tests/test_pallas_prep.py (interpret mode vs the production CPU

@@ -10,6 +10,7 @@ zeros -- the transport-compression ceiling), init_s (jax/device init).
 """
 
 import contextlib
+import os
 import json
 import subprocess
 import sys
@@ -18,7 +19,10 @@ import sys
 # serializes on the same flock scripts/window_watch.py holds around its
 # TPU children, so a manual `python bench.py` can never race the
 # watcher's probe (ADVICE r4).
-TPU_LOCK = "/tmp/hydrium_tpu.lock"
+# Overridable for tests: the bench-harness suite spawns wedge-scenario
+# bench parents whose children must not contend with a live watcher's
+# probe holding the real rig lock (minutes during wedges).
+TPU_LOCK = os.environ.get("HYDRIUM_TPU_LOCK", "/tmp/hydrium_tpu.lock")
 
 
 @contextlib.contextmanager

@@ -13,7 +13,7 @@ Measures, on the real chip:
   3. full duplex: a 12.6 MB upload concurrent with an 8 MB striped read
      (does d2h steal from h2d on this tunnel?).
 
-Prints one JSON line.  Run: python scripts/tunnel_probe3.py
+Prints one JSON line.  Run: python scripts/tunnel_probe.py
 """
 
 import json

@@ -22,6 +22,12 @@ os.environ.setdefault(
     "HYDRIUM_ARTIFACTS",
     os.path.join(tempfile.mkdtemp(prefix="hyd-test-arts-"),
                  "ARTIFACTS.json"))
+# ...and on the rig-wide TPU flock: a live window watcher holds the
+# real lock for minutes during wedged probes, which starves the
+# bench-harness tests' wedge-scenario children into bogus failures
+os.environ.setdefault(
+    "HYDRIUM_TPU_LOCK",
+    os.path.join(tempfile.mkdtemp(prefix="hyd-test-lock-"), "tpu.lock"))
 
 import jax
 

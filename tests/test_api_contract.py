@@ -447,3 +447,37 @@ def test_tiled_batch_wide_retry_reuses_packed_upload(monkeypatch):
         == ref_enc.stats.counters.get("pxpack_lfgs", 0) > 0
     assert enc_mod._JaxDispatch._WIDE_HINT  # sticky hint recorded
     assert bytes(out2) == bytes(ref_out)
+
+
+def test_tiled_batch_pending_run_format_change():
+    """A pending cross-call stacked run must flush under ITS OWN sample
+    format when the next batch call switches formats -- dispatching it
+    under the new format would encode the held tiles wrongly (u16
+    pixels read as u8).  The per-tile path with the SAME per-tile
+    formats is the oracle."""
+    rng = np.random.default_rng(13)
+    img8 = rng.integers(0, 256, (512, 512, 3)).astype(np.uint8)
+    img16 = img8.astype(np.uint16) * 257
+    meta = ImageMetadata(width=512, height=512,
+                         tile_size_shift_x=0, tile_size_shift_y=0)
+
+    ref_enc = Encoder(meta, backend="jax")
+    for tx in range(2):
+        ref_enc.send_tile(img16[:256, tx*256:(tx+1)*256], tx, 0,
+                          sample_fmt=SampleFormat.UINT16)
+    for tx in range(2):
+        ref_enc.send_tile(img8[256:, tx*256:(tx+1)*256], tx, 1,
+                          sample_fmt=SampleFormat.UINT8)
+    want = ref_enc.take_output()
+
+    enc = Encoder(meta, backend="jax")
+    # row 0 as UINT16 (pending run persists: 2 tiles < K_stack)
+    enc.send_tile_batch(
+        [(img16[:256, tx*256:(tx+1)*256], tx, 0) for tx in range(2)],
+        sample_fmt=SampleFormat.UINT16)
+    # row 1 as UINT8: the format change must flush row 0 as UINT16
+    enc.send_tile_batch(
+        [(img8[256:, tx*256:(tx+1)*256], tx, 1) for tx in range(2)],
+        sample_fmt=SampleFormat.UINT8)
+    got = enc.take_output()
+    assert got == want
